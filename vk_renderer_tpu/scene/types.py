@@ -1,0 +1,139 @@
+"""Scene containers: the SoA device arrays the render graph consumes.
+
+This layer replaces the reference's GPU-resident scene state — the packed
+vertex/index mesh buffers (src/vk_loader.cpp:186-225), the bindless texture
+table (src/vk_engine_init.cpp:215-266), the per-material UBOs
+(src/vk_materials.h:14-21) and the flattened RenderObject draw list
+(src/vk_types.h:148-163) — with one pytree of jnp arrays uploaded once via
+``device_put``.  All counts are static per scene, so the jitted render
+function compiles once per scene/resolution.
+
+Vertex layout matches shaders/common.glsl:6-12 semantically (position,
+normal, uv, color) but stored SoA, the TPU-friendly layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+import jax
+import numpy as np
+
+MAX_MIPS = 13  # enough for 4096x4096 (bindless capacity era, vk_engine_init.cpp:226)
+
+# Material pass types (src/vk_materials.h MaterialPass: MainColor / Transparent)
+PASS_OPAQUE = 0
+PASS_TRANSPARENT = 1
+
+
+@dataclass
+class TextureTable:
+    """Bindless-equivalent texture heap.
+
+    All texel data lives in one flat ``f32[N, 4]`` buffer in *shading-ready*
+    space: sRGB images (glTF color textures, vk_loader.cpp:283) are decoded
+    to linear at load; UNORM images (default 1x1s, checkerboard,
+    vk_engine_init.cpp:320-341) are stored raw.  Mip chains are generated at
+    load in linear space (the GPU blit chain, vk_images.cpp:64-158, also
+    filters in linear space on sRGB formats).
+
+    Per (texture, mip): ``mip_offset[t, m]`` is the row index of texel (0,0);
+    level texels are row-major.  ``mip_sizes[t, m] = (width, height)``.
+    """
+    texels: np.ndarray       # f32[N, 4]
+    mip_offsets: np.ndarray  # i32[T, MAX_MIPS]
+    mip_sizes: np.ndarray    # i32[T, MAX_MIPS, 2]  (w, h), clamped at 1
+    n_mips: np.ndarray       # i32[T]
+
+
+@dataclass
+class SceneArrays:
+    """Everything the jitted frame function needs, as one pytree."""
+    # vertex pool (SoA) — shaders/common.glsl:6-12
+    positions: np.ndarray    # f32[V, 3]
+    normals: np.ndarray      # f32[V, 3]
+    uvs: np.ndarray          # f32[V, 2]
+    colors: np.ndarray       # f32[V, 4]
+    vert_obj: np.ndarray     # i32[V]   render-object id per vertex
+
+    # triangle pool, sorted [opaque.. | masked.. | transparent..]
+    tris: np.ndarray         # i32[T, 3]
+    tri_material: np.ndarray # i32[T]
+    n_opaque: int = 0        # static: count of opaque (never-discard) tris
+    n_masked: int = 0        # static: count of alpha-cutoff-able tris
+    n_transparent: int = 0   # static: additive-blend tris
+
+    # render objects (flattened node graph, vk_types.h:148-163)
+    obj_world: np.ndarray = None    # f32[O, 4, 4]
+    obj_bounds: np.ndarray = None   # f32[O, 4] world-agnostic (center, radius)
+
+    # material table (vk_materials.h:14-21)
+    mat_color_factors: np.ndarray = None  # f32[M, 4]
+    mat_metal_rough: np.ndarray = None    # f32[M, 4] (x=metallic, y=roughness)
+    mat_tex_ids: np.ndarray = None        # i32[M, 3] (albedoID, normalID, metalRoughID)
+
+    # bindless texture heap
+    textures: TextureTable = None
+
+    # skybox cubemap, f32[6, F, F, 3], +X -X +Y -Y +Z -Z (Vulkan layer order)
+    cubemap: np.ndarray = None
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+    @property
+    def num_triangles(self) -> int:
+        return self.tris.shape[0]
+
+    def device_put(self) -> "SceneArrays":
+        """Upload all arrays once (the immediate_submit analog,
+        vk_loader.cpp:54-74 — but a single batched transfer)."""
+        import jax.numpy as jnp
+
+        def put(x):
+            if isinstance(x, np.ndarray):
+                return jax.device_put(jnp.asarray(x))
+            return x
+
+        tex = self.textures
+        new_tex = TextureTable(*(put(getattr(tex, f.name)) for f in dataclasses.fields(tex))) if tex else None
+        kwargs = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if f.name == "textures":
+                kwargs[f.name] = new_tex
+            else:
+                kwargs[f.name] = put(v)
+        return SceneArrays(**kwargs)
+
+
+def register_pytrees():
+    """Register scene containers as jax pytrees (static counts as aux)."""
+    def scene_flatten(s: SceneArrays):
+        children = (s.positions, s.normals, s.uvs, s.colors, s.vert_obj,
+                    s.tris, s.tri_material, s.obj_world, s.obj_bounds,
+                    s.mat_color_factors, s.mat_metal_rough, s.mat_tex_ids,
+                    s.textures, s.cubemap)
+        aux = (s.n_opaque, s.n_masked, s.n_transparent)
+        return children, aux
+
+    def scene_unflatten(aux, children):
+        (positions, normals, uvs, colors, vert_obj, tris, tri_material,
+         obj_world, obj_bounds, mcf, mmr, mti, textures, cubemap) = children
+        return SceneArrays(positions, normals, uvs, colors, vert_obj, tris,
+                           tri_material, aux[0], aux[1], aux[2], obj_world,
+                           obj_bounds, mcf, mmr, mti, textures, cubemap)
+
+    def tex_flatten(t: TextureTable):
+        return (t.texels, t.mip_offsets, t.mip_sizes, t.n_mips), None
+
+    def tex_unflatten(_, children):
+        return TextureTable(*children)
+
+    jax.tree_util.register_pytree_node(SceneArrays, scene_flatten, scene_unflatten)
+    jax.tree_util.register_pytree_node(TextureTable, tex_flatten, tex_unflatten)
+
+
+register_pytrees()
