@@ -1,0 +1,147 @@
+"""Tiled depth rasterizer (XLA reference path) -> visibility buffer.
+
+The software replacement for the Vulkan fixed-function rasterizer + depth
+test (SURVEY.md F1/F2): per framebuffer tile, stream the tile's binned
+triangles in chunks, evaluate the three inside-positive edge functions and
+the screen-linear depth plane at every pixel center (+0.5 sampling, Vulkan
+top-left fill rule), and keep the nearest passing triangle per pixel
+(LESS_OR_EQUAL compare, clear depth 1.0 — vk_engine_init.cpp depth configs
+and vk_engine_run.cpp:251).
+
+Output is a *visibility buffer*: depth[H, W] plus winning triangle id
+(-1 where uncovered).  Shading happens deferred, densely, afterwards —
+the TPU-friendly split (raster is irregular, shading is dense VPU work).
+
+An optional ``alpha_fn`` hook implements the alpha-cutoff path
+(mesh_pbr.frag:193 ``discard`` on albedo alpha < 0.5) for the masked
+triangle bucket: it returns per-candidate coverage given interpolation
+weights, and discarded fragments never write depth — exactly the
+forward-pipeline semantics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .common import cdiv
+
+
+def pad_setup(setup: dict) -> dict:
+    """Append the all-zero sentinel row so bin-slot gathers at id==T are
+    harmless (zero edges fail coverage everywhere)."""
+    return {
+        "edge": jnp.concatenate([setup["edge"], jnp.zeros((1, 3, 3), jnp.float32)]),
+        "zlin": jnp.concatenate([setup["zlin"], jnp.zeros((1, 3), jnp.float32)]),
+    }
+
+
+def _coverage(e, a, b):
+    """Inside test with the top-left rule (y-down): e>0, or e==0 on a top
+    edge (a==0, b>0) or left edge (a>0)."""
+    top_left = (a > 0.0) | ((a == 0.0) & (b > 0.0))
+    return (e > 0.0) | ((e == 0.0) & top_left)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
+                                   "chunk", "alpha_fn"))
+def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int,
+                    tile_w: int = 128, tile_h: int = 32, chunk: int = 64,
+                    alpha_fn=None, init_depth: jax.Array | None = None,
+                    init_id: jax.Array | None = None):
+    """Z-buffer pass over binned triangles.
+
+    ``init_depth``/``init_id`` allow chaining buckets (opaque then masked)
+    while keeping LESS_OR_EQUAL later-wins semantics across passes.
+    Returns (depth f32[H, W], tri_id i32[H, W], -1 = empty).
+    """
+    edge = setup_padded["edge"]
+    zlin = setup_padded["zlin"]
+    sentinel = edge.shape[0] - 1
+
+    rows, cols, cap = bins.shape
+    assert cap % chunk == 0, "bin capacity must be a multiple of the raster chunk"
+    n_tiles = rows * cols
+    p = tile_h * tile_w
+    bins_f = bins.reshape(n_tiles, cap)
+
+    # absolute pixel-center coordinates per tile
+    lx = (jnp.arange(p, dtype=jnp.float32) % tile_w)
+    ly = (jnp.arange(p, dtype=jnp.float32) // tile_w)
+    tile_x0 = (jnp.arange(n_tiles, dtype=jnp.float32) % cols) * tile_w
+    tile_y0 = (jnp.arange(n_tiles, dtype=jnp.float32) // cols) * tile_h
+    px = tile_x0[:, None] + lx[None, :] + 0.5          # [NT, P]
+    py = tile_y0[:, None] + ly[None, :] + 0.5
+
+    if init_depth is None:
+        depth0 = jnp.ones((n_tiles, p), jnp.float32)
+        id0 = jnp.full((n_tiles, p), sentinel, jnp.int32)
+    else:
+        depth0 = _to_tiles(init_depth, rows, cols, tile_h, tile_w).reshape(n_tiles, p)
+        id0 = _to_tiles(jnp.where(init_id < 0, sentinel, init_id),
+                        rows, cols, tile_h, tile_w).reshape(n_tiles, p)
+
+    n_chunks = cdiv(cap, chunk)
+
+    def body(carry, ck):
+        zbuf, ibuf = carry
+        ids = jax.lax.dynamic_slice(bins_f, (0, ck * chunk), (n_tiles, chunk))
+        ecoef = edge[ids]                               # [NT, C, 3, 3]
+        zcoef = zlin[ids]                               # [NT, C, 3]
+
+        # e_i(p) for the 3 edges and the depth plane: [NT, P, C]
+        def plane(c):
+            return (px[:, :, None] * c[:, None, :, 0]
+                    + py[:, :, None] * c[:, None, :, 1] + c[:, None, :, 2])
+
+        e0 = plane(ecoef[:, :, 0])
+        e1 = plane(ecoef[:, :, 1])
+        e2 = plane(ecoef[:, :, 2])
+        z = plane(zcoef)
+
+        cov = (_coverage(e0, ecoef[:, None, :, 0, 0], ecoef[:, None, :, 0, 1])
+               & _coverage(e1, ecoef[:, None, :, 1, 0], ecoef[:, None, :, 1, 1])
+               & _coverage(e2, ecoef[:, None, :, 2, 0], ecoef[:, None, :, 2, 1])
+               & (e0 + e1 + e2 > 0.0)                   # interp 1/w > 0
+               & (z >= 0.0))                            # near-plane depth clip
+
+        if alpha_fn is not None:
+            esum = e0 + e1 + e2
+            esafe = jnp.where(esum != 0.0, esum, 1.0)
+            cov = cov & alpha_fn(ids, e0 / esafe, e1 / esafe, e2 / esafe)
+
+        zc = jnp.where(cov, z, jnp.inf)
+        best = jnp.min(zc, axis=-1)                     # [NT, P]
+        bidx = jnp.argmin(zc, axis=-1)
+        bid = jnp.take_along_axis(ids, bidx, axis=-1)   # [NT, P]
+        take = best <= zbuf
+        zbuf = jnp.where(take, best, zbuf)
+        ibuf = jnp.where(take, bid, ibuf)
+        return (zbuf, ibuf), None
+
+    (zbuf, ibuf), _ = jax.lax.scan(body, (depth0, id0),
+                                   jnp.arange(n_chunks, dtype=jnp.int32))
+
+    depth = _from_tiles(zbuf.reshape(rows, cols, tile_h, tile_w))
+    tri_id = _from_tiles(ibuf.reshape(rows, cols, tile_h, tile_w))
+    tri_id = jnp.where(tri_id == sentinel, -1, tri_id)
+    return depth[:height, :width], tri_id[:height, :width]
+
+
+def _from_tiles(x: jax.Array) -> jax.Array:
+    """[rows, cols, th, tw] -> [rows*th, cols*tw]."""
+    r, c, th, tw = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(r * th, c * tw)
+
+
+def _to_tiles(img: jax.Array, rows: int, cols: int, th: int, tw: int) -> jax.Array:
+    """[H, W] -> [rows, cols, th, tw], padding with the edge-agnostic values
+    already present (image must be pre-padded to the tile grid)."""
+    h, w = img.shape
+    ph, pw = rows * th - h, cols * tw - w
+    if ph or pw:
+        img = jnp.pad(img, ((0, ph), (0, pw)), constant_values=1.0
+                      if img.dtype == jnp.float32 else 0)
+    return img.reshape(rows, th, cols, tw).transpose(0, 2, 1, 3)

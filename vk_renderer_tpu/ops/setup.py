@@ -1,0 +1,137 @@
+"""Vertex transform and clipless triangle setup (XLA, feeds the rasterizer).
+
+Replaces the vertex stage (shaders/mesh.vert:14-24) and the fixed-function
+primitive assembly/clipping of the Vulkan pipeline (SURVEY.md F1) with a
+TPU-idiomatic formulation: 2D-homogeneous triangle setup (Olano & Greer).
+No data-dependent clipping — triangles crossing w=0 are handled by the
+sign tests plus a per-pixel interpolated-w>0 mask, which keeps every shape
+static under jit.
+
+Per-triangle outputs (all dense SoA over T):
+- ``edge`` f32[T, 3, 3]: cofactor rows of the homogeneous screen matrix,
+  sign-normalized so inside is all-positive; ``e_i(p) = edge[t,i] . (px,py,1)``.
+  ``sum_i e_i(p) > 0`` doubles as the interpolated ``1/w > 0`` test that
+  rejects the mirror region of w-crossing triangles.
+- ``zlin`` f32[T, 3]:    screen-linear depth coefficients;
+  ``z_ndc(p) = zlin[t] . (px,py,1)`` exactly (identity:
+  ``sum_i w_i e_i(p) == det``, so the division by det is folded in at setup
+  and depth needs no per-pixel divide — the hardware's screen-linear z).
+- ``bbox`` f32[T, 4]:    (x0, y0, x1, y1) pixel-space conservative bounds.
+- ``valid`` bool[T].
+
+Vulkan front-face convention: the spec's signed area carries a leading
+negation (y-down compensation), so FRONT_FACE_COUNTER_CLOCKWISE ==
+``det(M) < 0`` here (verified against the oracle in tests/test_raster.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+CULL_NONE = 0
+CULL_BACK = 1   # keep front faces (geometry pass, vk_engine_init.cpp:536)
+CULL_FRONT = 2  # keep back faces (shadow/skybox, vk_engine_init.cpp:441,626)
+
+
+def transform_vertices(positions: jax.Array, vert_obj: jax.Array,
+                       obj_world: jax.Array, viewproj: jax.Array):
+    """World + clip transform for all vertices (mesh.vert:16,22).
+
+    Returns (world_pos f32[V,3], clip f32[V,4]).
+    """
+    w = obj_world[vert_obj]                                   # [V, 4, 4]
+    world = jnp.einsum("vij,vj->vi", w[:, :3, :3], positions) + w[:, :3, 3]
+    clip = jnp.einsum("ij,vj->vi", viewproj[:, :3], world) + viewproj[:, 3]
+    # viewproj[:, :3] @ world + viewproj[:, 3] is (viewproj @ [world, 1])
+    return world, clip
+
+
+def transform_normals(normals: jax.Array, vert_obj: jax.Array,
+                      obj_world: jax.Array) -> jax.Array:
+    """World-space normals: mat3(world) @ n (mesh.vert:18, not normalized
+    until the fragment stage)."""
+    w = obj_world[vert_obj]
+    return jnp.einsum("vij,vj->vi", w[:, :3, :3], normals)
+
+
+def cull_objects(obj_world: jax.Array, obj_bounds: jax.Array,
+                 planes: jax.Array) -> jax.Array:
+    """Sphere-vs-frustum visibility per render object
+    (vk_engine_run.cpp:461-480): world center, radius scaled by the largest
+    basis-column length, visible unless fully outside any plane."""
+    centers = jnp.einsum("oij,oj->oi", obj_world[:, :3, :3], obj_bounds[:, :3]) \
+        + obj_world[:, :3, 3]
+    col_scale = jnp.linalg.norm(obj_world[:, :3, :3], axis=1)   # per-column lengths
+    radius = obj_bounds[:, 3] * jnp.max(col_scale, axis=-1)
+    dist = jnp.einsum("pk,ok->op", planes[:, :3], centers) + planes[None, :, 3]
+    return jnp.all(dist >= -radius[:, None], axis=1)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cull"))
+def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
+                   width: int, height: int, cull: int = CULL_BACK):
+    """Clipless 2DH setup for all triangles.  ``tri_valid`` folds in the
+    frustum-cull mask (and bucket masks)."""
+    v = clip[tris]                                            # [T, 3, 4]
+
+    # normalize each homogeneous vertex to tame f32 cofactor magnitudes
+    scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True), 1e-12)
+    v = v * scale
+
+    x, y, z, w = v[..., 0], v[..., 1], v[..., 2], v[..., 3]    # each [T, 3]
+    # fold the viewport transform into homogeneous screen coords
+    X = (x + w) * (0.5 * width)
+    Y = (y + w) * (0.5 * height)
+
+    # cofactor rows of M = [[X0,Y0,w0],[X1,Y1,w1],[X2,Y2,w2]]
+    def cof(i, j, k):
+        return jnp.stack([Y[:, j] * w[:, k] - Y[:, k] * w[:, j],
+                          w[:, j] * X[:, k] - w[:, k] * X[:, j],
+                          X[:, j] * Y[:, k] - X[:, k] * Y[:, j]], axis=-1)
+
+    e0 = cof(0, 1, 2)
+    e1 = cof(1, 2, 0)
+    e2 = cof(2, 0, 1)
+    det = X[:, 0] * e0[:, 0] + Y[:, 0] * e0[:, 1] + w[:, 0] * e0[:, 2]
+
+    front = det < 0.0   # Vulkan CCW front face (see module docstring)
+    if cull == CULL_BACK:
+        keep_facing = front
+    elif cull == CULL_FRONT:
+        keep_facing = ~front
+    else:
+        keep_facing = jnp.ones_like(front)
+
+    # orient edges inside-positive: e_i(vertex_i) == det, so flip by sign(det)
+    sgn = jnp.where(det < 0, -1.0, 1.0)[:, None]
+    edge = jnp.stack([e0 * sgn[:, :1], e1 * sgn[:, :1], e2 * sgn[:, :1]], axis=1)
+
+    # screen-linear depth: z(p) = (sum_i z_i e~_i(p)) / |det|
+    inv_absdet = 1.0 / jnp.where(det != 0.0, jnp.abs(det), 1.0)
+    zlin = jnp.einsum("tk,tkc->tc", z, edge) * inv_absdet[:, None]
+
+    valid = (tri_valid & keep_facing & (det != 0.0)
+             & ~jnp.all(w <= 0.0, axis=1))
+
+    # conservative pixel bbox; triangles crossing w<=0 get the full viewport
+    all_w_pos = jnp.all(w > 1e-12, axis=1)
+    sx = X / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    sy = Y / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    x0 = jnp.where(all_w_pos, jnp.min(sx, axis=1), 0.0)
+    x1 = jnp.where(all_w_pos, jnp.max(sx, axis=1), float(width))
+    y0 = jnp.where(all_w_pos, jnp.min(sy, axis=1), 0.0)
+    y1 = jnp.where(all_w_pos, jnp.max(sy, axis=1), float(height))
+    bbox = jnp.stack([jnp.clip(x0, 0.0, width), jnp.clip(y0, 0.0, height),
+                      jnp.clip(x1, 0.0, width), jnp.clip(y1, 0.0, height)], axis=-1)
+    # degenerate bbox -> invalid (fully off-screen)
+    on_screen = (bbox[:, 2] > bbox[:, 0]) & (bbox[:, 3] > bbox[:, 1])
+    valid = valid & on_screen
+
+    # invalid triangles get all-zero edges: e==0 everywhere fails the
+    # top-left rule (a==0, b==0), so the rasterizer needs no extra mask
+    edge = jnp.where(valid[:, None, None], edge, 0.0)
+
+    return {"edge": edge, "zlin": zlin, "bbox": bbox, "valid": valid}
