@@ -1,0 +1,177 @@
+"""End-to-end frame tests (config ladder): cube flat/pbr, shadows, sponza-like."""
+
+import numpy as np
+import pytest
+
+from vk_renderer_tpu.graph import driver
+from vk_renderer_tpu.graph.frame import FrameConfig
+from vk_renderer_tpu.graph.scenedata import RenderSettings
+from vk_renderer_tpu.scene import procedural
+from vk_renderer_tpu.scene.camera import Camera
+
+W, H = 256, 128
+
+
+@pytest.fixture(scope="module")
+def cube_scene():
+    return procedural.build_cube_scene().build().device_put()
+
+
+def small_cfg(**kw):
+    base = dict(width=W, height=H, tile_w=128, tile_h=32, cap_opaque=128,
+                cap_masked=64, cap_transparent=64, raster_chunk=32,
+                masked_chunk=16, shadow_size=256, shadow_cap=256,
+                bin_chunk=1024)
+    base.update(kw)
+    return FrameConfig(**base)
+
+
+class TestConfig2CubeFlat:
+    def test_cube_renders(self, cube_scene):
+        cam = Camera()
+        cfg = small_cfg(shading="flat")
+        out = driver.render(cube_scene, cam, RenderSettings(), cfg)
+        color = np.asarray(out["color"])
+        depth = np.asarray(out["depth"])
+        assert color.shape == (3, H, W)
+        # cube at z=-5 straight ahead: center covered, nearer than far plane
+        assert depth[H // 2, W // 2] < 1.0
+        # cube faces camera: +z face at z=-4, lit
+        assert color[:, H // 2, W // 2].max() > 0.01
+        # stats
+        assert int(out["stats"]["triangles"]) == 12
+        assert int(out["stats"]["drawcalls"]) == 1
+        assert int(out["stats"]["bin_overflow"]) == 0
+
+    def test_depth_value_analytic(self, cube_scene):
+        """Front face of the 2x2x2 cube at z=-5+1=-4: ndc depth must be
+        far/(near-far)*(1 - near/4) ... check against direct formula."""
+        cam = Camera()
+        cfg = small_cfg(shading="flat")
+        out = driver.render(cube_scene, cam, RenderSettings(), cfg)
+        depth = np.asarray(out["depth"])
+        z_view = -4.0
+        near, far = 0.1, 100.0
+        # perspectiveRH_ZO: z_ndc = (far/(near-far)*z + (-far*near/(far-near)))/(-z)
+        z_clip = far / (near - far) * z_view - far * near / (far - near)
+        expect = z_clip / (-z_view)
+        assert depth[H // 2, W // 2] == pytest.approx(expect, abs=1e-5)
+
+    def test_background_toggle(self, cube_scene):
+        cam = Camera()
+        cam.yaw = np.pi  # look away from the cube... cube behind
+        cfg = small_cfg(shading="flat", use_skybox=False)
+        s_on = RenderSettings(enable_background=True)
+        out_on = driver.render(cube_scene, cam, s_on, cfg)
+        c_on = np.asarray(out_on["color"])
+        # gradient: red at top rows, blue at bottom (defaults)
+        assert c_on[0, 1, W // 2] > 0.9 and c_on[2, 1, W // 2] < 0.1
+        assert c_on[2, H - 1, W // 2] > 0.9
+        out_off = driver.render(cube_scene, cam, RenderSettings(), cfg)
+        c_off = np.asarray(out_off["color"])
+        empty = np.asarray(out_off["depth"]) >= 1.0
+        assert np.all(c_off[:, empty] == 0.0)
+
+    def test_skybox_fills_empty(self, cube_scene):
+        cam = Camera()
+        cfg = small_cfg(shading="flat", use_skybox=True)
+        out = driver.render(cube_scene, cam, RenderSettings(), cfg)
+        color = np.asarray(out["color"])
+        empty = np.asarray(out["depth"]) >= 1.0
+        assert empty.sum() > 100
+        # procedural sky is nowhere black
+        assert color[:, empty].min() > 0.01
+
+    def test_postprocess_toggle(self, cube_scene):
+        cam = Camera()
+        cfg = small_cfg(shading="flat")
+        out_raw = driver.render(cube_scene, cam, RenderSettings(), cfg)
+        out_tm = driver.render(cube_scene, cam,
+                               RenderSettings(enable_postprocess=True), cfg)
+        raw = np.asarray(out_raw["color"])
+        tm = np.asarray(out_tm["color"])
+        covered = np.asarray(out_raw["depth"]) < 1.0
+        want = np.power(raw[:, covered] / (raw[:, covered] + 1), 1 / 2.2)
+        np.testing.assert_allclose(tm[:, covered], want, atol=1e-5)
+
+
+class TestConfig3Pbr:
+    def test_pbr_renders(self, cube_scene):
+        cam = Camera()
+        out = driver.render(cube_scene, cam, RenderSettings(), small_cfg())
+        color = np.asarray(out["color"])
+        center = color[:, H // 2, W // 2]
+        assert np.all(center > 0) and np.all(np.isfinite(color))
+
+    def test_pbr_ambient_only_in_shadowless_dark(self, cube_scene):
+        """With sunlight color black, output = ambient * albedo exactly."""
+        cam = Camera()
+        s = RenderSettings()
+        s.sunlight_color = np.array([0, 0, 0, 1], np.float32)
+        out = driver.render(cube_scene, cam, s, small_cfg())
+        color = np.asarray(out["color"])
+        center = color[:, H // 2, W // 2]
+        # ambient 0.1 * albedo (checker texture * colorFactor) — bounded
+        assert np.all(center <= 0.1 + 1e-5)
+        assert np.all(center > 0)
+
+
+class TestConfig4Shadows:
+    @pytest.mark.parametrize("mode", [0, 1, 2, 3])
+    def test_shadow_modes_run(self, cube_scene, mode):
+        cam = Camera()
+        s = RenderSettings(enable_shadows=True, shadow_mode=mode)
+        cfg = small_cfg(enable_shadows=True, shadow_mode=mode)
+        out = driver.render(cube_scene, cam, s, cfg)
+        assert np.all(np.isfinite(np.asarray(out["color"])))
+
+    def test_ground_receives_cube_shadow(self):
+        """Cube over a ground plane, hard shadows: some ground pixels lose
+        their diffuse term."""
+        from vk_renderer_tpu.scene.assembly import Material, Node
+        from vk_renderer_tpu.scene import procedural as pr
+        b = pr.build_cube_scene()
+        mat = b.add_material(Material(
+            color_factors=np.ones(4, np.float32),
+            metal_rough_factors=np.array([0, 1, 0, 0], np.float32)))
+        ground = pr.make_mesh("ground", [pr.subdiv_ground()], [mat]) \
+            if hasattr(pr, "subdiv_ground") else None
+        # build a simple ground quad manually
+        import vk_renderer_tpu.scene.procedural as p
+        pos = np.array([[-20, -1.2, 15], [20, -1.2, 15], [20, -1.2, -25],
+                        [-20, -1.2, -25]], np.float32)
+        nrm = np.tile([[0, 1, 0]], (4, 1)).astype(np.float32)
+        uv = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], np.float32)
+        tris = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        gm = p.make_mesh("ground", [(pos, nrm, uv, tris)], [mat])
+        b.root.add_child(Node(mesh=gm))
+        scene = b.build().device_put()
+
+        cam = Camera(position=np.array([0, 2.0, 2.0], np.float32))
+        cam.pitch = -0.4
+        s_on = RenderSettings(enable_shadows=True, shadow_mode=0)
+        s_off = RenderSettings(enable_shadows=False)
+        cfg_on = small_cfg(enable_shadows=True, shadow_mode=0)
+        cfg_off = small_cfg()
+        c_on = np.asarray(driver.render(scene, cam, s_on, cfg_on)["color"])
+        c_off = np.asarray(driver.render(scene, cam, s_off, cfg_off)["color"])
+        darkened = (c_off - c_on).max(axis=0)
+        assert (darkened > 0.05).sum() > 20, "no shadowed pixels found"
+
+
+class TestConfig5SponzaLike:
+    def test_full_scene_renders(self):
+        scene = procedural.build_sponza_like(target_tris=40_000).build().device_put()
+        cam = Camera(position=np.array([0, 1.7, 0], np.float32))
+        s = RenderSettings(enable_shadows=True, shadow_mode=3,
+                           enable_postprocess=True)
+        cfg = small_cfg(enable_shadows=True, shadow_mode=3,
+                        cap_opaque=4096, raster_chunk=64,
+                        shadow_cap=4096, shadow_size=512)
+        out = driver.render(scene, cam, s, cfg)
+        color = np.asarray(out["color"])
+        assert np.all(np.isfinite(color))
+        assert int(out["stats"]["bin_overflow"]) == 0
+        # indoor scene: most of the frame covered
+        covered = (np.asarray(out["depth"]) < 1.0).mean()
+        assert covered > 0.5

@@ -1,0 +1,269 @@
+"""The per-frame render graph as one jitted pure function.
+
+Replaces VulkanEngine::draw() (src/vk_engine_run.cpp:68-193): every pass —
+shadow, background, geometry (opaque + alpha-masked + skybox), transparent,
+tonemap — is a stage inside a single XLA program over HBM-resident arrays.
+Vulkan's image layout transitions become data dependencies; the swapchain
+blit becomes the final crop/readback.
+
+Pass order and semantics match the reference frame:
+  shadow maps -> background gradient/clear -> opaque geometry raster+shade
+  -> skybox (fills depth==1 pixels) -> additive transparent -> tonemap.
+
+Static configuration (FrameConfig) plays the role of pipeline state; traced
+inputs (scene_data + toggles) play the role of the per-frame UBO, so camera
+or lighting changes never recompile.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import binning, interp, post, raster, shade, skybox
+from ..ops import setup as rsetup
+from ..ops import texture as tex
+from ..ops.common import cdiv
+from ..ops.common import einsum as common_einsum
+
+NUM_CASCADES = 4
+
+
+@dataclass(frozen=True)
+class FrameConfig:
+    """Static pipeline state (the analog of baked VkPipelines)."""
+    width: int = 1920
+    height: int = 1080
+    tile_w: int = 128
+    tile_h: int = 32
+    cap_opaque: int = 2048
+    cap_masked: int = 512
+    cap_transparent: int = 256
+    raster_chunk: int = 64
+    masked_chunk: int = 16
+    transparent_peels: int = 4
+    shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
+    enable_shadows: bool = False     # vk_engine.h:116 default off
+    shadow_mode: int = 0             # 0 Hard 1 PCF 2 PCSS 3 CSM
+    shadow_size: int = 2048          # vk_engine.h:107
+    shadow_cap: int = 4096
+    use_skybox: bool = True
+    bin_chunk: int = 32768
+
+
+def _frustum_planes(viewproj: jax.Array) -> jax.Array:
+    """extract_frustum_planes (vk_engine_run.cpp:420-433), in-jit."""
+    m = viewproj
+    planes = jnp.stack([m[3] + m[0], m[3] - m[0], m[3] + m[1],
+                        m[3] - m[1], m[2], m[3] - m[2]])
+    return planes / jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
+
+
+def _make_alpha_fn(scene, tris_p, tri_mat_p):
+    """Alpha-cutoff coverage callback for the masked raster bucket:
+    perspective-correct UV + analytic-derivative trilinear albedo alpha,
+    keep iff alpha >= 0.5 (mesh_pbr.frag:192-193)."""
+    uvs = scene.uvs
+
+    def alpha_fn(ids, e0, e1, e2):
+        vidx = tris_p[ids]                                # [NT, C, 3]
+        uv_c = uvs[vidx]                                  # [NT, C, 3, 2]
+        esum = e0 + e1 + e2
+        d = jnp.where(esum != 0.0, esum, 1.0)
+        w0, w1, w2 = e0 / d, e1 / d, e2 / d               # [NT, P, C]
+        uv = (w0[..., None] * uv_c[:, None, :, 0]
+              + w1[..., None] * uv_c[:, None, :, 1]
+              + w2[..., None] * uv_c[:, None, :, 2])      # [NT, P, C, 2]
+        mat = tri_mat_p[ids]                              # [NT, C]
+        aid = scene.mat_tex_ids[mat][..., 0]              # [NT, C]
+        aid_b = jnp.broadcast_to(aid[:, None, :], uv.shape[:-1])
+        # cheap LOD-0 alpha in raster; the winner is re-sampled with full
+        # trilinear in shading (documented deviation on mip-ed cutouts)
+        alpha = tex.sample_bilinear_lod0(scene.textures, aid_b, uv)[..., 3]
+        return alpha >= 0.5
+
+    return alpha_fn
+
+
+def _render_shadow_maps(scene, world_pos, tri_visible, scene_data, cfg: FrameConfig):
+    """Depth-only passes into the 2048^2 x NUM_CASCADES array
+    (vk_engine_run.cpp:334-382): all camera-visible objects (reference quirk
+    4 — the *culled* list feeds the shadow pass), front-face culling
+    (vk_engine_init.cpp:441), no alpha test (no fragment shader)."""
+    s = cfg.shadow_size
+    n_active = 1 if cfg.shadow_mode < 3 else NUM_CASCADES
+    hom = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=1)
+    maps = []
+    for c in range(NUM_CASCADES):
+        if c >= n_active:
+            maps.append(jnp.ones((s, s), jnp.float32))
+            continue
+        lvp = scene_data["light_viewproj"][c]
+        clip = common_einsum("vj,ij->vi", hom, lvp)
+        st = rsetup.triangle_setup(clip, scene.tris, tri_visible, s, s,
+                                   cull=rsetup.CULL_FRONT)
+        bins, _, _ = binning.bin_triangles(
+            st["bbox"], st["valid"], s, s, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            cap=cfg.shadow_cap, chunk=cfg.bin_chunk)
+        padded = raster.pad_setup(st)
+        d, _ = raster.rasterize_depth(padded, bins, s, s, tile_w=cfg.tile_w,
+                                      tile_h=cfg.tile_h, chunk=cfg.raster_chunk)
+        maps.append(d)
+    return jnp.stack(maps)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
+    """One frame.  scene: SceneArrays (device pytree); scene_data: the
+    GPUSceneData pytree; settings: traced toggles
+    {enable_background f32, bg_top f32[4], bg_bottom f32[4],
+     enable_postprocess f32}.
+
+    Returns dict: color f32[3, H, W], depth f32[H, W], stats.
+    """
+    w, h = cfg.width, cfg.height
+    n_tris = scene.tris.shape[0]
+
+    # ---- update_scene: device-side frustum culling (vk_engine_run.cpp:435-480)
+    planes = _frustum_planes(scene_data["viewproj"])
+    visible = rsetup.cull_objects(scene.obj_world, scene.obj_bounds, planes)
+    tri_obj = scene.vert_obj[scene.tris[:, 0]]
+    tri_visible = visible[tri_obj]
+
+    # ---- vertex stage (mesh.vert)
+    world_pos, clip = rsetup.transform_vertices(
+        scene.positions, scene.vert_obj, scene.obj_world, scene_data["viewproj"])
+    world_nrm = rsetup.transform_normals(scene.normals, scene.vert_obj,
+                                         scene.obj_world)
+
+    # ---- stats (triangles submitted per frame, vk_engine_run.cpp:309-310)
+    stats_triangles = jnp.sum(tri_visible.astype(jnp.int32))
+    stats_drawcalls = jnp.sum(visible.astype(jnp.int32))
+
+    # ---- shadow pass
+    if cfg.enable_shadows:
+        shadow_maps = _render_shadow_maps(scene, world_pos, tri_visible,
+                                          scene_data, cfg)
+    else:
+        shadow_maps = jnp.ones((NUM_CASCADES, 1, 1), jnp.float32)
+
+    # ---- geometry raster: opaque bucket then masked bucket
+    st = rsetup.triangle_setup(clip, scene.tris, tri_visible, w, h,
+                               cull=rsetup.CULL_BACK)
+    padded = raster.pad_setup(st)
+    tris_p = jnp.concatenate([scene.tris, jnp.zeros((1, 3), jnp.int32)])
+    tri_mat_p = jnp.concatenate([scene.tri_material, jnp.zeros(1, jnp.int32)])
+
+    tri_idx = jnp.arange(n_tris, dtype=jnp.int32)
+    is_opaque = tri_idx < scene.n_opaque
+    is_masked = (tri_idx >= scene.n_opaque) & (tri_idx < scene.n_opaque + scene.n_masked)
+    is_transp = tri_idx >= scene.n_opaque + scene.n_masked
+
+    bins_o, _, ovf_o = binning.bin_triangles(
+        st["bbox"], st["valid"] & is_opaque, w, h, tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h, cap=cfg.cap_opaque, chunk=cfg.bin_chunk)
+    depth, tid = raster.rasterize_depth(padded, bins_o, w, h,
+                                        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                                        chunk=cfg.raster_chunk)
+
+    overflow = ovf_o
+    if scene.n_masked > 0:
+        bins_m, _, ovf_m = binning.bin_triangles(
+            st["bbox"], st["valid"] & is_masked, w, h, tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h, cap=cfg.cap_masked, chunk=cfg.bin_chunk)
+        depth, tid = raster.rasterize_depth(
+            padded, bins_m, w, h, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            chunk=cfg.masked_chunk,
+            alpha_fn=_make_alpha_fn(scene, tris_p, tri_mat_p),
+            init_depth=depth, init_id=tid)
+        overflow = overflow + ovf_m
+
+    # ---- G-buffer interpolation (fixed-function varyings, SURVEY F3)
+    gbuf = _build_gbuffer(scene, scene_data, tid, padded, tris_p, tri_mat_p,
+                          world_pos, world_nrm)
+
+    # ---- shading
+    shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
+    rgb, _alpha = shader(gbuf, scene, scene_data, shadow_maps,
+                         cfg.shadow_mode, cfg.enable_shadows)
+
+    # ---- compose onto background (clear (0,0,0) or gradient;
+    #      vk_engine_run.cpp:246-248)
+    grad = post.gradient_xla(h, w, settings["bg_top"], settings["bg_bottom"])
+    bg = grad * settings["enable_background"]
+    covered = (tid >= 0)[None]
+    color = jnp.where(covered, rgb.transpose(2, 0, 1), bg)
+
+    # ---- skybox fills untouched depth (vk_engine_run.cpp:313)
+    if cfg.use_skybox and scene.cubemap is not None:
+        color = skybox.composite_skybox(color, depth, scene.cubemap,
+                                        scene_data["view"], scene_data["proj"])
+
+    # ---- additive transparent pass (depth peeling, order-independent sum)
+    if scene.n_transparent > 0:
+        color = _transparent_pass(scene, scene_data, settings, cfg, st, padded,
+                                  tris_p, tri_mat_p, world_pos, world_nrm,
+                                  is_transp, depth, shadow_maps, color)
+
+    # ---- tonemap postprocess (tonemap.comp)
+    toned = post.tonemap_xla(color)
+    color = jnp.where(settings["enable_postprocess"] > 0.5, toned, color)
+
+    return {"color": color, "depth": depth,
+            "stats": {"triangles": stats_triangles,
+                      "drawcalls": stats_drawcalls,
+                      "bin_overflow": overflow}}
+
+
+def _build_gbuffer(scene, scene_data, tid, padded, tris_p, tri_mat_p,
+                   world_pos, world_nrm):
+    weights = interp.interpolation_weights(tid, padded)
+    lam = weights["lam"]
+    normal = interp.interpolate(interp.gather_corners(world_nrm, tris_p, tid), lam)
+    colors = interp.interpolate(
+        interp.gather_corners(scene.colors[:, :3], tris_p, tid), lam)
+    world = interp.interpolate(interp.gather_corners(world_pos, tris_p, tid), lam)
+    uv, duvdx, duvdy = interp.interpolate_with_derivs(
+        interp.gather_corners(scene.uvs, tris_p, tid), weights)
+    view = scene_data["view"]
+    view_z = common_einsum("hwc,c->hw", world, view[2, :3]) + view[2, 3]
+    sentinel = tris_p.shape[0] - 1
+    ids = jnp.where(tid < 0, sentinel, tid)
+    mat_id = tri_mat_p[ids]
+    return {"normal": normal, "color": colors, "uv": uv,
+            "duvdx": duvdx, "duvdy": duvdy, "world": world,
+            "view_z": view_z, "mat_id": mat_id, "covered": tid >= 0}
+
+
+def _transparent_pass(scene, scene_data, settings, cfg, st, padded, tris_p,
+                      tri_mat_p, world_pos, world_nrm, is_transp,
+                      opaque_depth, shadow_maps, color):
+    """Additive-blend transparent geometry (vk_pipelines.cpp:108-118:
+    srcAlpha*src + dst; mesh_pbr always writes alpha=1 so effectively
+    ONE/ONE), depth test against opaque LESS_OR_EQUAL, depth write off —
+    implemented as K depth-peel layers, each shaded densely and summed.
+    Order-independent, so peel order is irrelevant."""
+    w, h = cfg.width, cfg.height
+    bins_t, _, _ = binning.bin_triangles(
+        st["bbox"], st["valid"] & is_transp, w, h, tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h, cap=cfg.cap_transparent, chunk=cfg.bin_chunk)
+
+    floor = jnp.full((h, w), -1.0, jnp.float32)
+    shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
+    for _ in range(cfg.transparent_peels):
+        d, tidt = raster.rasterize_depth(
+            padded, bins_t, w, h, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            chunk=min(cfg.raster_chunk, cfg.cap_transparent),
+            init_depth=opaque_depth,
+            init_id=jnp.full((h, w), -1, jnp.int32), floor_depth=floor)
+        gbuf = _build_gbuffer(scene, scene_data, tidt, padded, tris_p,
+                              tri_mat_p, world_pos, world_nrm)
+        rgb, alpha = shader(gbuf, scene, scene_data, shadow_maps,
+                            cfg.shadow_mode, cfg.enable_shadows)
+        contrib = (tidt >= 0) & (alpha >= 0.5)          # discard still applies
+        color = color + jnp.where(contrib[None], rgb.transpose(2, 0, 1), 0.0)
+        floor = jnp.where(tidt >= 0, d, 2.0)            # peel past this layer
+    return color

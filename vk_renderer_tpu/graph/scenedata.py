@@ -138,6 +138,8 @@ def build_scene_data(camera: Camera, settings: RenderSettings, aspect: float) ->
         "view": view,
         "proj": proj,
         "viewproj": viewproj,
+        # camPos = vec3(inverse(view)[3]) (mesh_pbr.frag:187), precomputed
+        "cam_pos": glm.inverse(view)[:3, 3],
         "light_viewproj": light_viewproj.astype(np.float32),
         "cascade_distances": csm_dists,
         "ambient_color": settings.ambient_color.astype(np.float32),

@@ -21,6 +21,11 @@ import jax.numpy as jnp
 SUBLANE = 8
 LANE = 128
 
+# TPU matmul/einsum default precision is bfloat16 — catastrophic for vertex
+# transforms and interpolation (bf16 clip coords quantize screen positions
+# by ~1/256).  Every contraction in the compute path must use this.
+einsum = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+
 
 @functools.cache
 def on_tpu() -> bool:

@@ -35,6 +35,7 @@ def pad_setup(setup: dict) -> dict:
     return {
         "edge": jnp.concatenate([setup["edge"], jnp.zeros((1, 3, 3), jnp.float32)]),
         "zlin": jnp.concatenate([setup["zlin"], jnp.zeros((1, 3), jnp.float32)]),
+        "anchor": jnp.concatenate([setup["anchor"], jnp.zeros((1, 2), jnp.float32)]),
     }
 
 
@@ -50,15 +51,20 @@ def _coverage(e, a, b):
 def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int,
                     tile_w: int = 128, tile_h: int = 32, chunk: int = 64,
                     alpha_fn=None, init_depth: jax.Array | None = None,
-                    init_id: jax.Array | None = None):
+                    init_id: jax.Array | None = None,
+                    floor_depth: jax.Array | None = None):
     """Z-buffer pass over binned triangles.
 
     ``init_depth``/``init_id`` allow chaining buckets (opaque then masked)
     while keeping LESS_OR_EQUAL later-wins semantics across passes.
+    ``floor_depth`` [H, W] restricts coverage to fragments strictly behind
+    it (z > floor) — the depth-peeling hook for the order-independent
+    additive transparent pass.
     Returns (depth f32[H, W], tri_id i32[H, W], -1 = empty).
     """
     edge = setup_padded["edge"]
     zlin = setup_padded["zlin"]
+    anchor = setup_padded["anchor"]
     sentinel = edge.shape[0] - 1
 
     rows, cols, cap = bins.shape
@@ -82,6 +88,8 @@ def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int
         depth0 = _to_tiles(init_depth, rows, cols, tile_h, tile_w).reshape(n_tiles, p)
         id0 = _to_tiles(jnp.where(init_id < 0, sentinel, init_id),
                         rows, cols, tile_h, tile_w).reshape(n_tiles, p)
+    floor_t = (None if floor_depth is None else
+               _to_tiles(floor_depth, rows, cols, tile_h, tile_w).reshape(n_tiles, p))
 
     n_chunks = cdiv(cap, chunk)
 
@@ -90,11 +98,16 @@ def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int
         ids = jax.lax.dynamic_slice(bins_f, (0, ck * chunk), (n_tiles, chunk))
         ecoef = edge[ids]                               # [NT, C, 3, 3]
         zcoef = zlin[ids]                               # [NT, C, 3]
+        anc = anchor[ids]                               # [NT, C, 2]
+
+        # anchored pixel coords (see setup.py precision note): [NT, P, C]
+        pxa = px[:, :, None] - anc[:, None, :, 0]
+        pya = py[:, :, None] - anc[:, None, :, 1]
 
         # e_i(p) for the 3 edges and the depth plane: [NT, P, C]
         def plane(c):
-            return (px[:, :, None] * c[:, None, :, 0]
-                    + py[:, :, None] * c[:, None, :, 1] + c[:, None, :, 2])
+            return (pxa * c[:, None, :, 0]
+                    + pya * c[:, None, :, 1] + c[:, None, :, 2])
 
         e0 = plane(ecoef[:, :, 0])
         e1 = plane(ecoef[:, :, 1])
@@ -106,11 +119,14 @@ def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int
                & _coverage(e2, ecoef[:, None, :, 2, 0], ecoef[:, None, :, 2, 1])
                & (e0 + e1 + e2 > 0.0)                   # interp 1/w > 0
                & (z >= 0.0))                            # near-plane depth clip
+        if floor_t is not None:
+            cov = cov & (z > floor_t[:, :, None])       # depth-peel floor
 
         if alpha_fn is not None:
-            esum = e0 + e1 + e2
-            esafe = jnp.where(esum != 0.0, esum, 1.0)
-            cov = cov & alpha_fn(ids, e0 / esafe, e1 / esafe, e2 / esafe)
+            # alpha_fn(ids [NT,C], e0/e1/e2 [NT,P,C]) -> keep mask [NT,P,C];
+            # raw (unnormalized) edge values let the callback derive both
+            # perspective-correct weights and analytic UV derivatives
+            cov = cov & alpha_fn(ids, e0, e1, e2)
 
         zc = jnp.where(cov, z, jnp.inf)
         best = jnp.min(zc, axis=-1)                     # [NT, P]

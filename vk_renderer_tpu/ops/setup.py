@@ -31,6 +31,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from .common import einsum
+
 CULL_NONE = 0
 CULL_BACK = 1   # keep front faces (geometry pass, vk_engine_init.cpp:536)
 CULL_FRONT = 2  # keep back faces (shadow/skybox, vk_engine_init.cpp:441,626)
@@ -43,8 +45,8 @@ def transform_vertices(positions: jax.Array, vert_obj: jax.Array,
     Returns (world_pos f32[V,3], clip f32[V,4]).
     """
     w = obj_world[vert_obj]                                   # [V, 4, 4]
-    world = jnp.einsum("vij,vj->vi", w[:, :3, :3], positions) + w[:, :3, 3]
-    clip = jnp.einsum("ij,vj->vi", viewproj[:, :3], world) + viewproj[:, 3]
+    world = einsum("vij,vj->vi", w[:, :3, :3], positions) + w[:, :3, 3]
+    clip = einsum("ij,vj->vi", viewproj[:, :3], world) + viewproj[:, 3]
     # viewproj[:, :3] @ world + viewproj[:, 3] is (viewproj @ [world, 1])
     return world, clip
 
@@ -54,7 +56,7 @@ def transform_normals(normals: jax.Array, vert_obj: jax.Array,
     """World-space normals: mat3(world) @ n (mesh.vert:18, not normalized
     until the fragment stage)."""
     w = obj_world[vert_obj]
-    return jnp.einsum("vij,vj->vi", w[:, :3, :3], normals)
+    return einsum("vij,vj->vi", w[:, :3, :3], normals)
 
 
 def cull_objects(obj_world: jax.Array, obj_bounds: jax.Array,
@@ -62,11 +64,11 @@ def cull_objects(obj_world: jax.Array, obj_bounds: jax.Array,
     """Sphere-vs-frustum visibility per render object
     (vk_engine_run.cpp:461-480): world center, radius scaled by the largest
     basis-column length, visible unless fully outside any plane."""
-    centers = jnp.einsum("oij,oj->oi", obj_world[:, :3, :3], obj_bounds[:, :3]) \
+    centers = einsum("oij,oj->oi", obj_world[:, :3, :3], obj_bounds[:, :3]) \
         + obj_world[:, :3, 3]
     col_scale = jnp.linalg.norm(obj_world[:, :3, :3], axis=1)   # per-column lengths
     radius = obj_bounds[:, 3] * jnp.max(col_scale, axis=-1)
-    dist = jnp.einsum("pk,ok->op", planes[:, :3], centers) + planes[None, :, 3]
+    dist = einsum("pk,ok->op", planes[:, :3], centers) + planes[None, :, 3]
     return jnp.all(dist >= -radius[:, None], axis=1)
 
 
@@ -85,6 +87,27 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     # fold the viewport transform into homogeneous screen coords
     X = (x + w) * (0.5 * width)
     Y = (y + w) * (0.5 * height)
+
+    # Precision: evaluate everything in per-triangle anchored coordinates
+    # (homogeneous translation by a point near the triangle).  This keeps
+    # cofactor magnitudes proportional to the triangle's screen extent, not
+    # the screen size — without it f32 depth error reaches ~1e-3, larger
+    # than the 5e-4 shadow bias.  Anchor = projected bbox center (viewport
+    # center for w-crossing triangles).
+    wsafe = jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
+    sx_all = X / wsafe
+    sy_all = Y / wsafe
+    all_w_pos = jnp.all(w > 1e-12, axis=1)
+    ax = jnp.where(all_w_pos,
+                   0.5 * (jnp.min(sx_all, axis=1) + jnp.max(sx_all, axis=1)),
+                   0.5 * width)
+    ay = jnp.where(all_w_pos,
+                   0.5 * (jnp.min(sy_all, axis=1) + jnp.max(sy_all, axis=1)),
+                   0.5 * height)
+    ax = jnp.clip(ax, 0.0, width)
+    ay = jnp.clip(ay, 0.0, height)
+    X = X - ax[:, None] * w
+    Y = Y - ay[:, None] * w
 
     # cofactor rows of M = [[X0,Y0,w0],[X1,Y1,w1],[X2,Y2,w2]]
     def cof(i, j, k):
@@ -111,19 +134,16 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
 
     # screen-linear depth: z(p) = (sum_i z_i e~_i(p)) / |det|
     inv_absdet = 1.0 / jnp.where(det != 0.0, jnp.abs(det), 1.0)
-    zlin = jnp.einsum("tk,tkc->tc", z, edge) * inv_absdet[:, None]
+    zlin = einsum("tk,tkc->tc", z, edge) * inv_absdet[:, None]
 
     valid = (tri_valid & keep_facing & (det != 0.0)
              & ~jnp.all(w <= 0.0, axis=1))
 
     # conservative pixel bbox; triangles crossing w<=0 get the full viewport
-    all_w_pos = jnp.all(w > 1e-12, axis=1)
-    sx = X / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
-    sy = Y / jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
-    x0 = jnp.where(all_w_pos, jnp.min(sx, axis=1), 0.0)
-    x1 = jnp.where(all_w_pos, jnp.max(sx, axis=1), float(width))
-    y0 = jnp.where(all_w_pos, jnp.min(sy, axis=1), 0.0)
-    y1 = jnp.where(all_w_pos, jnp.max(sy, axis=1), float(height))
+    x0 = jnp.where(all_w_pos, jnp.min(sx_all, axis=1), 0.0)
+    x1 = jnp.where(all_w_pos, jnp.max(sx_all, axis=1), float(width))
+    y0 = jnp.where(all_w_pos, jnp.min(sy_all, axis=1), 0.0)
+    y1 = jnp.where(all_w_pos, jnp.max(sy_all, axis=1), float(height))
     bbox = jnp.stack([jnp.clip(x0, 0.0, width), jnp.clip(y0, 0.0, height),
                       jnp.clip(x1, 0.0, width), jnp.clip(y1, 0.0, height)], axis=-1)
     # degenerate bbox -> invalid (fully off-screen)
@@ -134,4 +154,6 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     # top-left rule (a==0, b==0), so the rasterizer needs no extra mask
     edge = jnp.where(valid[:, None, None], edge, 0.0)
 
-    return {"edge": edge, "zlin": zlin, "bbox": bbox, "valid": valid}
+    anchor = jnp.stack([ax, ay], axis=-1)
+    return {"edge": edge, "zlin": zlin, "bbox": bbox, "valid": valid,
+            "anchor": anchor}

@@ -1,0 +1,49 @@
+"""Skybox pass — per-pixel ray-direction cubemap sampling.
+
+The reference rasterizes the 2x2x2 cube with the view's rotation only and
+``gl_Position = pos.xyww`` so depth==1 everywhere (shaders/skybox.vert:8-17),
+drawn after opaque geometry with LESS_OR_EQUAL so it fills exactly the
+pixels whose depth is still at the clear value (vk_engine_run.cpp:313-332).
+
+Because perspective-correct interpolation of the cube-surface position is
+the point where the eye ray hits the cube, the sampled direction equals the
+per-pixel eye ray in rotation-only world space — so the TPU-native version
+needs no geometry at all: unproject each pixel, rotate by view^T, flip y
+(skybox.vert:11), sample the cubemap.  Pixel-exact equivalent of the
+rasterized cube (the cube covers the full frame from inside).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .common import einsum
+
+from . import texture as tex
+from .interp import pixel_centers
+
+
+def skybox_colors(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
+                  height: int, width: int) -> jax.Array:
+    """f32[H, W, 3] cubemap colors for every pixel."""
+    px, py = pixel_centers(height, width)
+    ndc_x = px * (2.0 / width) - 1.0
+    ndc_y = py * (2.0 / height) - 1.0
+    # view-space ray: clip.x = P00*xv, clip.y = P11*yv, w = -zv
+    dir_view = jnp.stack([ndc_x / proj[0, 0], ndc_y / proj[1, 1],
+                          -jnp.ones_like(ndc_x)], axis=-1)
+    rot = view[:3, :3]                       # R^T (orthonormal camera view)
+    dir_world = einsum("ji,hwj->hwi", rot, dir_view)  # R @ d = view^T @ d
+    dir_world = dir_world * jnp.array([1.0, -1.0, 1.0])   # UVW y flip
+    return tex.sample_cubemap(cubemap, dir_world)
+
+
+def composite_skybox(color: jax.Array, depth: jax.Array, cubemap: jax.Array,
+                     view: jax.Array, proj: jax.Array) -> jax.Array:
+    """Overwrite pixels still at clear depth (==1.0) with the skybox
+    (depth LESS_OR_EQUAL at z=1, write off).  color: f32[3, H, W]."""
+    h, w = depth.shape
+    sky = skybox_colors(cubemap, view, proj, h, w)        # [H, W, 3]
+    mask = (depth >= 1.0)[None, :, :]
+    return jnp.where(mask, sky.transpose(2, 0, 1), color)
