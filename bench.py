@@ -1,0 +1,86 @@
+"""Benchmark driver: flagship scene at 1920x1080 on the attached accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+driver's contract.  vs_baseline is fps / 60 (the BASELINE.md north-star
+target: >=60 FPS Sponza-class scene on one v5e chip).
+
+The reference ships no benchmark numbers (BASELINE.md); its runtime stats
+overlay (frametime / fps / triangles / drawcalls,
+src/vk_engine_run.cpp:208-211) is replicated in the auxiliary stats line
+printed to stderr.
+
+Scene: Sponza.gltf if present under assets/ (gitignored in the reference
+too, .gitignore:3), else the procedural Sponza-class stand-in
+(~260k triangles, PBR materials, alpha-masked foliage, additive panes).
+Full feature config: CSM shadows + skybox + tonemap, like BASELINE config 5.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from vk_renderer_tpu.graph import driver
+    from vk_renderer_tpu.graph.scenedata import RenderSettings
+    from vk_renderer_tpu.scene import procedural
+    from vk_renderer_tpu.scene.camera import Camera
+
+    width, height = 1920, 1080
+
+    sponza_path = os.environ.get("VKR_SPONZA", "assets/Sponza/Sponza.gltf")
+    if os.path.exists(sponza_path):
+        from vk_renderer_tpu.scene.assembly import SceneBuilder
+        b = SceneBuilder()
+        b.load_gltf(sponza_path, "structure")
+        b.cubemap = procedural.make_sky_cubemap(256)
+        scene_name = "sponza"
+    else:
+        b = procedural.build_sponza_like()
+        scene_name = "sponza_like"
+    scene = b.build().device_put()
+
+    settings = RenderSettings(enable_shadows=True, shadow_mode=3,
+                              enable_postprocess=True)
+    cfg = driver.config_from_settings(settings, width, height)
+    cam = Camera(position=np.array([9.0, 1.8, 0.3], np.float32))
+    cam.yaw = np.pi / 2  # look down the long axis
+
+    # compile + warmup
+    out = driver.render(scene, cam, settings, cfg)
+    jax.block_until_ready(out["color"])
+    stats = {k: int(v) for k, v in out["stats"].items()}
+
+    # timed frames with small camera motion (realistic per-frame host work)
+    n_frames = 30
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        cam.yaw += 0.002
+        out = driver.render(scene, cam, settings, cfg)
+    jax.block_until_ready(out["color"])
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    print(json.dumps({
+        "metric": f"{scene_name}_1080p_fps",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 60.0, 4),
+    }))
+    print(json.dumps({
+        "frametime_ms": round(1000 * dt / n_frames, 3),
+        "triangles": stats["triangles"],
+        "drawcalls": stats["drawcalls"],
+        "bin_overflow": stats["bin_overflow"],
+        "backend": jax.default_backend(),
+        "scene_triangles": int(scene.tris.shape[0]),
+    }), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,28 +88,34 @@ def _make_alpha_fn(scene, tris_p, tri_mat_p):
     return alpha_fn
 
 
-def _render_shadow_maps(scene, world_pos, tri_visible, scene_data, cfg: FrameConfig):
+def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
+                       cfg: FrameConfig, out_h: int | None = None):
     """Depth-only passes into the 2048^2 x NUM_CASCADES array
     (vk_engine_run.cpp:334-382): all camera-visible objects (reference quirk
     4 — the *culled* list feeds the shadow pass), front-face culling
-    (vk_engine_init.cpp:441), no alpha test (no fragment shader)."""
+    (vk_engine_init.cpp:441), no alpha test (no fragment shader).
+
+    ``light_viewproj``: f32[NUM_CASCADES, 4, 4] (callers may pass
+    row-slice-remapped matrices to raster a horizontal strip of height
+    ``out_h`` — the multi-chip sharding path)."""
     s = cfg.shadow_size
+    out_h = s if out_h is None else out_h
     n_active = 1 if cfg.shadow_mode < 3 else NUM_CASCADES
     hom = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=1)
     maps = []
     for c in range(NUM_CASCADES):
         if c >= n_active:
-            maps.append(jnp.ones((s, s), jnp.float32))
+            maps.append(jnp.ones((out_h, s), jnp.float32))
             continue
-        lvp = scene_data["light_viewproj"][c]
+        lvp = light_viewproj[c]
         clip = common_einsum("vj,ij->vi", hom, lvp)
-        st = rsetup.triangle_setup(clip, scene.tris, tri_visible, s, s,
+        st = rsetup.triangle_setup(clip, scene.tris, tri_visible, s, out_h,
                                    cull=rsetup.CULL_FRONT)
         bins, _, _ = binning.bin_triangles(
-            st["bbox"], st["valid"], s, s, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            cap=cfg.shadow_cap, chunk=cfg.bin_chunk)
+            st["bbox"], st["valid"], s, out_h, tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h, cap=cfg.shadow_cap, chunk=cfg.bin_chunk)
         padded = raster.pad_setup(st)
-        d, _ = raster.rasterize_depth(padded, bins, s, s, tile_w=cfg.tile_w,
+        d, _ = raster.rasterize_depth(padded, bins, s, out_h, tile_w=cfg.tile_w,
                                       tile_h=cfg.tile_h, chunk=cfg.raster_chunk)
         maps.append(d)
     return jnp.stack(maps)
@@ -117,14 +123,36 @@ def _render_shadow_maps(scene, world_pos, tri_visible, scene_data, cfg: FrameCon
 
 @partial(jax.jit, static_argnames=("cfg",))
 def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
-    """One frame.  scene: SceneArrays (device pytree); scene_data: the
-    GPUSceneData pytree; settings: traced toggles
+    """One frame, single chip.  scene: SceneArrays (device pytree);
+    scene_data: the GPUSceneData pytree; settings: traced toggles
     {enable_background f32, bg_top f32[4], bg_bottom f32[4],
      enable_postprocess f32}.
 
     Returns dict: color f32[3, H, W], depth f32[H, W], stats.
     """
+    if cfg.enable_shadows:
+        planes = _frustum_planes(scene_data["viewproj"])
+        visible = rsetup.cull_objects(scene.obj_world, scene.obj_bounds, planes)
+        tri_visible = visible[scene.vert_obj[scene.tris[:, 0]]]
+        world_pos, _ = rsetup.transform_vertices(
+            scene.positions, scene.vert_obj, scene.obj_world,
+            scene_data["viewproj"])
+        shadow_maps = render_shadow_maps(scene, world_pos, tri_visible,
+                                         scene_data["light_viewproj"], cfg)
+    else:
+        shadow_maps = jnp.ones((NUM_CASCADES, 1, 1), jnp.float32)
+    return render_view(scene, scene_data, settings, cfg, shadow_maps)
+
+
+def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
+                shadow_maps, y_offset=0.0, full_height: int | None = None):
+    """Camera-view render (everything except the shadow pass) for a
+    horizontal viewport strip of cfg.height rows starting at ``y_offset``
+    within a ``full_height``-tall frame.  Single-chip path uses the whole
+    frame (offset 0); the sharded path passes per-device strips with a
+    row-remapped ``scene_data['viewproj']``."""
     w, h = cfg.width, cfg.height
+    full_height = h if full_height is None else full_height
     n_tris = scene.tris.shape[0]
 
     # ---- update_scene: device-side frustum culling (vk_engine_run.cpp:435-480)
@@ -142,13 +170,6 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
     # ---- stats (triangles submitted per frame, vk_engine_run.cpp:309-310)
     stats_triangles = jnp.sum(tri_visible.astype(jnp.int32))
     stats_drawcalls = jnp.sum(visible.astype(jnp.int32))
-
-    # ---- shadow pass
-    if cfg.enable_shadows:
-        shadow_maps = _render_shadow_maps(scene, world_pos, tri_visible,
-                                          scene_data, cfg)
-    else:
-        shadow_maps = jnp.ones((NUM_CASCADES, 1, 1), jnp.float32)
 
     # ---- geometry raster: opaque bucket then masked bucket
     st = rsetup.triangle_setup(clip, scene.tris, tri_visible, w, h,
@@ -192,15 +213,20 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
 
     # ---- compose onto background (clear (0,0,0) or gradient;
     #      vk_engine_run.cpp:246-248)
-    grad = post.gradient_xla(h, w, settings["bg_top"], settings["bg_bottom"])
-    bg = grad * settings["enable_background"]
+    blend = ((jnp.arange(h, dtype=jnp.float32) + y_offset)
+             / full_height)[None, :, None]
+    grad = (settings["bg_top"][:3].reshape(3, 1, 1) * (1.0 - blend)
+            + settings["bg_bottom"][:3].reshape(3, 1, 1) * blend)
+    bg = jnp.broadcast_to(grad, (3, h, w)) * settings["enable_background"]
     covered = (tid >= 0)[None]
     color = jnp.where(covered, rgb.transpose(2, 0, 1), bg)
 
     # ---- skybox fills untouched depth (vk_engine_run.cpp:313)
     if cfg.use_skybox and scene.cubemap is not None:
         color = skybox.composite_skybox(color, depth, scene.cubemap,
-                                        scene_data["view"], scene_data["proj"])
+                                        scene_data["view"], scene_data["proj"],
+                                        y_offset=y_offset,
+                                        full_height=full_height)
 
     # ---- additive transparent pass (depth peeling, order-independent sum)
     if scene.n_transparent > 0:

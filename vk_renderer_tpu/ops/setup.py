@@ -79,10 +79,6 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     frustum-cull mask (and bucket masks)."""
     v = clip[tris]                                            # [T, 3, 4]
 
-    # normalize each homogeneous vertex to tame f32 cofactor magnitudes
-    scale = 1.0 / jnp.maximum(jnp.max(jnp.abs(v), axis=-1, keepdims=True), 1e-12)
-    v = v * scale
-
     x, y, z, w = v[..., 0], v[..., 1], v[..., 2], v[..., 3]    # each [T, 3]
     # fold the viewport transform into homogeneous screen coords
     X = (x + w) * (0.5 * width)
@@ -109,16 +105,27 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     X = X - ax[:, None] * w
     Y = Y - ay[:, None] * w
 
-    # cofactor rows of M = [[X0,Y0,w0],[X1,Y1,w1],[X2,Y2,w2]]
-    def cof(i, j, k):
-        return jnp.stack([Y[:, j] * w[:, k] - Y[:, k] * w[:, j],
-                          w[:, j] * X[:, k] - w[:, k] * X[:, j],
-                          X[:, j] * Y[:, k] - X[:, k] * Y[:, j]], axis=-1)
+    # Per-vertex magnitude normalization conditions the f32 cofactors.
+    # CAREFUL: plain per-vertex scaling is invariant for coverage and depth
+    # but NOT for attribute interpolation (lambda_i = e_i / sum e assumes
+    # true clip w), so cofactor row i is rescaled by its own vertex's
+    # factor afterwards — restoring a common per-triangle factor
+    # S = s0*s1*s2 that cancels in every ratio.
+    s = 1.0 / jnp.maximum(
+        jnp.maximum(jnp.abs(X), jnp.maximum(jnp.abs(Y), jnp.abs(w))), 1e-12)
+    Xn, Yn, wn = X * s, Y * s, w * s
 
-    e0 = cof(0, 1, 2)
-    e1 = cof(1, 2, 0)
-    e2 = cof(2, 0, 1)
-    det = X[:, 0] * e0[:, 0] + Y[:, 0] * e0[:, 1] + w[:, 0] * e0[:, 2]
+    # cofactor rows of M = [[X0,Y0,w0],[X1,Y1,w1],[X2,Y2,w2]]
+    def cof(j, k):
+        return jnp.stack([Yn[:, j] * wn[:, k] - Yn[:, k] * wn[:, j],
+                          wn[:, j] * Xn[:, k] - wn[:, k] * Xn[:, j],
+                          Xn[:, j] * Yn[:, k] - Xn[:, k] * Yn[:, j]], axis=-1)
+
+    e0 = cof(1, 2) * s[:, 0:1]
+    e1 = cof(2, 0) * s[:, 1:2]
+    e2 = cof(0, 1) * s[:, 2:3]
+    # sum_i w_i e_i == (0, 0, det) identically; read det from the c-term
+    det = (w[:, 0] * e0[:, 2] + w[:, 1] * e1[:, 2] + w[:, 2] * e2[:, 2])
 
     front = det < 0.0   # Vulkan CCW front face (see module docstring)
     if cull == CULL_BACK:

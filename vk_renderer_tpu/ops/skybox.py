@@ -25,11 +25,15 @@ from .interp import pixel_centers
 
 
 def skybox_colors(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
-                  height: int, width: int) -> jax.Array:
-    """f32[H, W, 3] cubemap colors for every pixel."""
+                  height: int, width: int, y_offset=0.0,
+                  full_height: int | None = None) -> jax.Array:
+    """f32[H, W, 3] cubemap colors for every pixel.  ``y_offset``/
+    ``full_height`` locate a horizontal strip within the full frame (the
+    multi-chip sharding path)."""
+    full_height = height if full_height is None else full_height
     px, py = pixel_centers(height, width)
     ndc_x = px * (2.0 / width) - 1.0
-    ndc_y = py * (2.0 / height) - 1.0
+    ndc_y = (py + y_offset) * (2.0 / full_height) - 1.0
     # view-space ray: clip.x = P00*xv, clip.y = P11*yv, w = -zv
     dir_view = jnp.stack([ndc_x / proj[0, 0], ndc_y / proj[1, 1],
                           -jnp.ones_like(ndc_x)], axis=-1)
@@ -40,10 +44,11 @@ def skybox_colors(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
 
 
 def composite_skybox(color: jax.Array, depth: jax.Array, cubemap: jax.Array,
-                     view: jax.Array, proj: jax.Array) -> jax.Array:
+                     view: jax.Array, proj: jax.Array, y_offset=0.0,
+                     full_height: int | None = None) -> jax.Array:
     """Overwrite pixels still at clear depth (==1.0) with the skybox
     (depth LESS_OR_EQUAL at z=1, write off).  color: f32[3, H, W]."""
     h, w = depth.shape
-    sky = skybox_colors(cubemap, view, proj, h, w)        # [H, W, 3]
+    sky = skybox_colors(cubemap, view, proj, h, w, y_offset, full_height)
     mask = (depth >= 1.0)[None, :, :]
     return jnp.where(mask, sky.transpose(2, 0, 1), color)

@@ -1,0 +1,102 @@
+"""Multi-chip rendering: framebuffer rows sharded over a device mesh.
+
+The reference is single-GPU (SURVEY.md §2 parallelism table); this is the
+TPU-native scaling axis it lacks: shard the framebuffer tile grid across
+chips with ``shard_map`` over a 1-D ``Mesh``, with collectives riding ICI.
+
+Key trick: rendering a horizontal strip [y0, y0+h') of an H-tall viewport
+is exactly rendering a full h'-tall viewport through a row-remapped
+projection —
+    y'_clip = (H/h') * y_clip + ((H - 2*y0)/h' - 1) * w_clip
+(a homogeneous viewport change folded into viewproj).  So each device runs
+the unmodified single-chip pipeline on its strip.  Work split per frame:
+
+- geometry/vertex stage: replicated (tiny vs raster+shade)
+- shadow maps: each device rasters a horizontal strip of every cascade with
+  row-remapped light matrices, then an ``all_gather`` over the mesh
+  reassembles the full maps (shading needs random access)
+- camera raster + deferred shading + post: fully sharded by strip
+- stats: ``psum`` across the mesh
+
+Output color/depth carry a sharding that lays strips out contiguously, so
+the host sees the assembled frame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..graph import frame as framelib
+from ..graph.frame import FrameConfig, NUM_CASCADES
+
+
+def _row_slice_matrix(mat: jax.Array, y0, full_h: int, slice_h: int) -> jax.Array:
+    """Fold the strip viewport [y0, y0+slice_h) of a full_h-tall target
+    into the projection (see module docstring)."""
+    scale = full_h / slice_h
+    shift = (full_h - 2.0 * y0) / slice_h - 1.0
+    return mat.at[1].set(mat[1] * scale + mat[3] * shift)
+
+
+def render_frame_sharded(scene, scene_data: dict, settings: dict,
+                         cfg: FrameConfig, devices=None):
+    """Sharded equivalent of render_frame.  ``cfg`` describes the FULL
+    frame; height must divide evenly by the device count."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    mesh = Mesh(np.array(devices), ("fb",))
+
+    assert cfg.height % n == 0, "frame height must divide across devices"
+    assert cfg.shadow_size % n == 0, "shadow size must divide across devices"
+    shard_h = cfg.height // n
+    shadow_h = cfg.shadow_size // n
+    cfg_slice = replace(cfg, height=shard_h)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(), P()),
+             out_specs={"color": P(None, "fb", None), "depth": P("fb", None),
+                        "stats": {"triangles": P(), "drawcalls": P(),
+                                  "bin_overflow": P()}},
+             check_rep=False)
+    def step(scene, sd, st):
+        i = jax.lax.axis_index("fb")
+        y0 = (i * shard_h).astype(jnp.float32)
+
+        sd_slice = dict(sd)
+        sd_slice["viewproj"] = _row_slice_matrix(sd["viewproj"], y0,
+                                                 cfg.height, shard_h)
+
+        # shadow strips -> all_gather to full maps (ICI collective)
+        if cfg.enable_shadows:
+            y0s = (i * shadow_h).astype(jnp.float32)
+            lvp = jax.vmap(lambda m: _row_slice_matrix(
+                m, y0s, cfg.shadow_size, shadow_h))(sd["light_viewproj"])
+            planes = framelib._frustum_planes(sd["viewproj"])
+            from ..ops import setup as rsetup
+            visible = rsetup.cull_objects(scene.obj_world, scene.obj_bounds,
+                                          planes)
+            tri_visible = visible[scene.vert_obj[scene.tris[:, 0]]]
+            world_pos, _ = rsetup.transform_vertices(
+                scene.positions, scene.vert_obj, scene.obj_world,
+                sd["viewproj"])
+            strips = framelib.render_shadow_maps(
+                scene, world_pos, tri_visible, lvp, cfg_slice, out_h=shadow_h)
+            shadow_maps = jax.lax.all_gather(strips, "fb", axis=1, tiled=True)
+        else:
+            shadow_maps = jnp.ones((NUM_CASCADES, 1, 1), jnp.float32)
+
+        out = framelib.render_view(scene, sd_slice, st, cfg_slice,
+                                   shadow_maps, y_offset=y0,
+                                   full_height=cfg.height)
+        stats = {k: jax.lax.psum(v, "fb") for k, v in out["stats"].items()}
+        return {"color": out["color"], "depth": out["depth"], "stats": stats}
+
+    with mesh:
+        return jax.jit(step)(scene, scene_data, settings)
