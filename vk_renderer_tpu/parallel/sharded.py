@@ -64,7 +64,7 @@ def render_frame_sharded(scene, scene_data: dict, settings: dict,
              out_specs={"color": P(None, "fb", None), "depth": P("fb", None),
                         "stats": {"triangles": P(), "drawcalls": P(),
                                   "bin_overflow": P()}},
-             check_rep=False)
+             check_vma=False)
     def step(scene, sd, st):
         i = jax.lax.axis_index("fb")
         y0 = (i * shard_h).astype(jnp.float32)
