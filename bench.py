@@ -24,6 +24,9 @@ import numpy as np
 
 
 def main():
+    from vk_renderer_tpu.utils import jaxcache
+    jaxcache.enable()
+
     import jax
 
     from vk_renderer_tpu.graph import driver

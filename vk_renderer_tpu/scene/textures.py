@@ -67,14 +67,26 @@ class TextureHeapBuilder:
         self._textures: list[list[np.ndarray]] = []   # per texture: list of mips
 
     def add(self, rgba_u8: np.ndarray, *, srgb: bool, mipmapped: bool) -> int:
-        """Add an RGBA8 image; returns its bindless index."""
+        """Add an RGBA8 image; returns its bindless index.  Uses the native
+        C++ texture pipeline (native/texops.cpp) when built, NumPy otherwise
+        — outputs are identical (tests assert parity)."""
         rgba_u8 = np.asarray(rgba_u8)
         assert rgba_u8.dtype == np.uint8 and rgba_u8.ndim == 3 and rgba_u8.shape[2] == 4
-        f = rgba_u8.astype(np.float32) / 255.0
-        if srgb:
-            # hardware sRGB decode applies to RGB only; alpha stays linear
-            f = np.concatenate([srgb_to_linear(f[..., :3]), f[..., 3:]], axis=-1)
-        mips = generate_mips(f) if mipmapped else [f]
+
+        from .. import native_bridge
+        f = native_bridge.decode_rgba8(rgba_u8, srgb)
+        if f is None:
+            f = rgba_u8.astype(np.float32) / 255.0
+            if srgb:
+                # hardware sRGB decode applies to RGB only; alpha stays linear
+                f = np.concatenate([srgb_to_linear(f[..., :3]), f[..., 3:]],
+                                   axis=-1)
+        if mipmapped:
+            mips = native_bridge.generate_mips(f)
+            if mips is None:
+                mips = generate_mips(f)
+        else:
+            mips = [f]
         self._textures.append(mips)
         return len(self._textures) - 1
 
