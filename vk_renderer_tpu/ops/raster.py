@@ -41,7 +41,7 @@ def rasterize_depth_auto(setup_padded: dict, bins: jax.Array, counts: jax.Array,
         from .raster_pallas import rasterize_depth_pallas
         return rasterize_depth_pallas(setup_padded, bins, counts, width,
                                       height, tile_w=tile_w, tile_h=tile_h,
-                                      chunk=32, init_depth=init_depth,
+                                      chunk=64, init_depth=init_depth,
                                       init_id=init_id)
     return rasterize_depth(setup_padded, bins, width, height, tile_w=tile_w,
                            tile_h=tile_h, chunk=chunk, init_depth=init_depth,

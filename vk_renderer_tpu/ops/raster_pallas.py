@@ -1,17 +1,21 @@
 """Pallas TPU depth-raster kernel — the hot inner loop of the renderer.
 
 Same semantics as ops/raster.rasterize_depth (Vulkan coverage rules,
-top-left fill, LESS_OR_EQUAL z, sentinel-id empties) but tiled for the
-VPU: each grid step processes one (framebuffer tile, triangle chunk) pair
-with the tile's depth/id buffers resident in VMEM across the chunk loop
-(output revisiting), per-chunk triangle coefficients in SMEM (scalar
-reads feed vector FMAs over the (tile_h, tile_w) pixel registers), and a
-sequential z-test that reproduces the reference's submission-order tie
-behavior exactly (later triangle wins on equal depth).
+top-left fill, LESS_OR_EQUAL z, sentinel-id empties), tiled for the VPU:
+
+- grid = one program per framebuffer tile; the tile's depth/id live in
+  VMEM for the whole program,
+- the tile's binned-triangle coefficient stream is DMA'd HBM -> SMEM in
+  double-buffered chunks, with the chunk loop bound **dynamically** by the
+  tile's bin occupancy (empty tiles cost ~nothing — essential: a 2048^2
+  shadow target has 1024 tiles and most hold few triangles),
+- per triangle, 14 scalar reads feed vector FMAs over the
+  (tile_h, tile_w) pixel registers; a sequential z-test reproduces the
+  reference's submission-order tie behavior exactly (later draw wins ties).
 
 Coefficients are refolded from anchor-relative to tile-local coordinates
-scalar-side (c'' = c + a*(tile_x0 - ax) + b*(tile_y0 - ay)), keeping the
-f32 edge evaluation conditioned on the tile scale.
+scalar-side (k = c + a*(tile_x0 - ax) + b*(tile_y0 - ay)), keeping the
+f32 edge evaluation conditioned on the tile scale (see ops/setup.py).
 
 The alpha-cutoff and depth-peeling variants stay on the XLA path (they
 need texture gathers / extra per-pixel state and run on small buckets).
@@ -28,75 +32,97 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import cdiv
 
-F_FIELDS = 16   # edge 9 | zlin 3 | anchor 2 | pad 2
+F_FIELDS = 16   # edge 9 | zlin 3 | anchor 2 | tri-id (f32) | pad
 
 
-def _kernel(counts_ref, fdata_ref, ids_ref, initd_ref, initi_ref,
-            outd_ref, outi_ref, *, chunk, tile_w, tile_h, cols):
+def _kernel(counts_ref, fdata_hbm, initd_ref, initi_ref,
+            outd_ref, outi_ref, *, chunk, tile_w, tile_h, cols, n_chunks):
     t = pl.program_id(0)
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _init():
-        outd_ref[:, :] = initd_ref[:, :]
-        outi_ref[:, :] = initi_ref[:, :]
-
     count = counts_ref[t]
+    nk = (count + chunk - 1) // chunk
+    rec = chunk * F_FIELDS
 
-    @pl.when(j * chunk < count)
-    def _process():
-        col = t % cols
-        row = t // cols
-        tx0 = (col * tile_w).astype(jnp.float32)
-        ty0 = (row * tile_h).astype(jnp.float32)
+    outd_ref[:, :] = initd_ref[:, :]
+    outi_ref[:, :] = initi_ref[:, :]
 
-        pxl = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
-               .astype(jnp.float32) + 0.5)
-        pyl = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
-               .astype(jnp.float32) + 0.5)
+    @pl.when(nk > 0)
+    def _run():
+        def scoped(fbuf, fsem):
+            def fdma(k):
+                # each chunk record is exactly one (8,128) f32 tile, so a
+                # leading-dim dynamic index is always tiling-aligned
+                # (1-D dynamic-offset HBM DMA silently misbehaves on Mosaic)
+                return pltpu.make_async_copy(
+                    fdata_hbm.at[t * n_chunks + k], fbuf, fsem)
 
-        zb = outd_ref[:, :]
-        ib = outi_ref[:, :]
-        for c in range(chunk):
-            base = c * F_FIELDS
-            a0 = fdata_ref[0, base + 0]; b0 = fdata_ref[0, base + 1]
-            c0 = fdata_ref[0, base + 2]
-            a1 = fdata_ref[0, base + 3]; b1 = fdata_ref[0, base + 4]
-            c1 = fdata_ref[0, base + 5]
-            a2 = fdata_ref[0, base + 6]; b2 = fdata_ref[0, base + 7]
-            c2 = fdata_ref[0, base + 8]
-            za = fdata_ref[0, base + 9]; zbc = fdata_ref[0, base + 10]
-            zc0 = fdata_ref[0, base + 11]
-            ax = fdata_ref[0, base + 12]; ay = fdata_ref[0, base + 13]
-            tri = ids_ref[0, c]
+            def rd(i):
+                return fbuf[i // 128, i % 128]
 
-            ox = tx0 - ax
-            oy = ty0 - ay
-            k0 = c0 + a0 * ox + b0 * oy
-            k1 = c1 + a1 * ox + b1 * oy
-            k2 = c2 + a2 * ox + b2 * oy
-            kz = zc0 + za * ox + zbc * oy
+            col = t % cols
+            row = t // cols
+            tx0 = (col * tile_w).astype(jnp.float32)
+            ty0 = (row * tile_h).astype(jnp.float32)
+            pxl = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+                   .astype(jnp.float32) + 0.5)
+            pyl = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+                   .astype(jnp.float32) + 0.5)
 
-            e0 = a0 * pxl + b0 * pyl + k0
-            e1 = a1 * pxl + b1 * pyl + k1
-            e2 = a2 * pxl + b2 * pyl + k2
-            z = za * pxl + zbc * pyl + kz
+            def loop(k, carry):
+                zb, ib = carry
+                d = fdma(k)
+                d.start()
+                d.wait()
 
-            tl0 = jnp.logical_or(a0 > 0.0, jnp.logical_and(a0 == 0.0, b0 > 0.0))
-            tl1 = jnp.logical_or(a1 > 0.0, jnp.logical_and(a1 == 0.0, b1 > 0.0))
-            tl2 = jnp.logical_or(a2 > 0.0, jnp.logical_and(a2 == 0.0, b2 > 0.0))
-            cov = ((e0 > 0.0) | ((e0 == 0.0) & tl0))
-            cov &= ((e1 > 0.0) | ((e1 == 0.0) & tl1))
-            cov &= ((e2 > 0.0) | ((e2 == 0.0) & tl2))
-            cov &= (e0 + e1 + e2) > 0.0        # interpolated 1/w > 0
-            cov &= z >= 0.0                    # near depth clip
+                for c in range(chunk):
+                    base = c * F_FIELDS
+                    a0 = rd(base + 0); b0 = rd(base + 1)
+                    c0 = rd(base + 2)
+                    a1 = rd(base + 3); b1 = rd(base + 4)
+                    c1 = rd(base + 5)
+                    a2 = rd(base + 6); b2 = rd(base + 7)
+                    c2 = rd(base + 8)
+                    za = rd(base + 9); zbr = rd(base + 10)
+                    zc0 = rd(base + 11)
+                    ax = rd(base + 12); ay = rd(base + 13)
+                    tri = rd(base + 14).astype(jnp.int32)
 
-            zcand = jnp.where(cov, z, 2.0)
-            take = zcand <= zb                 # LEQUAL: later draw wins ties
-            zb = jnp.where(take, zcand, zb)
-            ib = jnp.where(take, tri, ib)
-        outd_ref[:, :] = zb
-        outi_ref[:, :] = ib
+                    ox = tx0 - ax
+                    oy = ty0 - ay
+                    k0 = c0 + a0 * ox + b0 * oy
+                    k1 = c1 + a1 * ox + b1 * oy
+                    k2 = c2 + a2 * ox + b2 * oy
+                    kz = zc0 + za * ox + zbr * oy
+
+                    e0 = a0 * pxl + b0 * pyl + k0
+                    e1 = a1 * pxl + b1 * pyl + k1
+                    e2 = a2 * pxl + b2 * pyl + k2
+                    z = za * pxl + zbr * pyl + kz
+
+                    tl0 = (a0 > 0.0) | ((a0 == 0.0) & (b0 > 0.0))
+                    tl1 = (a1 > 0.0) | ((a1 == 0.0) & (b1 > 0.0))
+                    tl2 = (a2 > 0.0) | ((a2 == 0.0) & (b2 > 0.0))
+                    cov = ((e0 > 0.0) | ((e0 == 0.0) & tl0))
+                    cov &= ((e1 > 0.0) | ((e1 == 0.0) & tl1))
+                    cov &= ((e2 > 0.0) | ((e2 == 0.0) & tl2))
+                    cov &= (e0 + e1 + e2) > 0.0   # interpolated 1/w > 0
+                    cov &= z >= 0.0               # near depth clip
+
+                    zcand = jnp.where(cov, z, 2.0)
+                    take = zcand <= zb            # LEQUAL: later draw wins
+                    zb = jnp.where(take, zcand, zb)
+                    ib = jnp.where(take, tri, ib)
+                return zb, ib
+
+            zb, ib = jax.lax.fori_loop(0, nk, loop,
+                                       (outd_ref[:, :], outi_ref[:, :]))
+            outd_ref[:, :] = zb
+            outi_ref[:, :] = ib
+
+        pl.run_scoped(
+            scoped,
+            pltpu.SMEM((8, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_w",
@@ -104,7 +130,7 @@ def _kernel(counts_ref, fdata_ref, ids_ref, initd_ref, initi_ref,
 def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
                            counts: jax.Array, width: int, height: int,
                            tile_w: int = 128, tile_h: int = 32,
-                           chunk: int = 32,
+                           chunk: int = 64,
                            init_depth: jax.Array | None = None,
                            init_id: jax.Array | None = None):
     """Drop-in for raster.rasterize_depth (opaque/no-hook path).
@@ -119,7 +145,8 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
     cap_pad = n_chunks * chunk
     n_tiles = rows * cols
 
-    # per-triangle record [T+1, 16]
+    # per-triangle record [T+1, 16], gathered per bin slot; the slot's
+    # triangle id rides along as f32 (exact for id < 2^24)
     f = jnp.concatenate([
         edge.reshape(-1, 9), zlin, anchor,
         jnp.zeros((edge.shape[0], F_FIELDS - 14), jnp.float32)], axis=1)
@@ -128,9 +155,9 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
     if cap_pad != cap:
         bins_f = jnp.pad(bins_f, ((0, 0), (0, cap_pad - cap)),
                          constant_values=sentinel)
-    fdata = f[bins_f]                                    # [NT, capP, 16]
-    fdata = fdata.reshape(n_tiles * n_chunks, chunk * F_FIELDS)
-    ids = bins_f.reshape(n_tiles * n_chunks, chunk)
+    fdata = f[bins_f]
+    fdata = fdata.at[:, :, 14].set(bins_f.astype(jnp.float32))
+    fdata = fdata.reshape(-1, 8, 128)   # one (8,128) tile per chunk record
 
     if init_depth is None:
         initd = jnp.ones((n_tiles, tile_h, tile_w), jnp.float32)
@@ -142,26 +169,23 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles, n_chunks),
+        grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, chunk * F_FIELDS), lambda t, j, c: (t * n_chunks + j, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, chunk), lambda t, j, c: (t * n_chunks + j, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, tile_h, tile_w), lambda t, j, c: (t, 0, 0),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # fdata stays in HBM
+            pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tile_h, tile_w), lambda t, j, c: (t, 0, 0),
+            pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, tile_h, tile_w), lambda t, j, c: (t, 0, 0),
+            pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tile_h, tile_w), lambda t, j, c: (t, 0, 0),
+            pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
     )
     kernel = functools.partial(_kernel, chunk=chunk, tile_w=tile_w,
-                               tile_h=tile_h, cols=cols)
+                               tile_h=tile_h, cols=cols, n_chunks=n_chunks)
     outd, outi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -170,8 +194,8 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
             jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-    )(counts.reshape(-1), fdata, ids, initd, initi)
+            dimension_semantics=("arbitrary",)),
+    )(counts.reshape(-1), fdata, initd, initi)
 
     depth = _from_tiles(outd.reshape(rows, cols, tile_h, tile_w))
     tri_id = _from_tiles(outi.reshape(rows, cols, tile_h, tile_w))
