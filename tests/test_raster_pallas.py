@@ -44,10 +44,10 @@ class TestPallasRaster:
     def test_matches_xla_reference(self):
         padded, bins, counts = _setup_scene()
         d_ref, i_ref = raster.rasterize_depth(padded, bins, W, H, tile_w=128,
-                                              tile_h=32, chunk=32,
+                                              tile_h=32, chunk=64,
                                               counts=counts)
         d_p, i_p = _interpret_pallas(padded, bins, counts, W, H,
-                                     tile_w=128, tile_h=32, chunk=32)
+                                     tile_w=128, tile_h=32, chunk=64)
         np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_p))
         np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_p),
                                    atol=1e-4)
@@ -57,11 +57,11 @@ class TestPallasRaster:
         init_d = jnp.full((H, W), 0.5, jnp.float32)
         init_i = jnp.full((H, W), -1, jnp.int32)
         d_ref, i_ref = raster.rasterize_depth(padded, bins, W, H, tile_w=128,
-                                              tile_h=32, chunk=32,
+                                              tile_h=32, chunk=64,
                                               init_depth=init_d,
                                               init_id=init_i, counts=counts)
         d_p, i_p = _interpret_pallas(padded, bins, counts, W, H, tile_w=128,
-                                     tile_h=32, chunk=32, init_depth=init_d,
+                                     tile_h=32, chunk=64, init_depth=init_d,
                                      init_id=init_i)
         np.testing.assert_array_equal(np.asarray(i_ref), np.asarray(i_p))
         np.testing.assert_allclose(np.asarray(d_ref), np.asarray(d_p),
@@ -72,6 +72,6 @@ class TestPallasRaster:
         counts = jnp.zeros_like(counts)
         bins = jnp.full_like(bins, padded["edge"].shape[0] - 1)
         d_p, i_p = _interpret_pallas(padded, bins, counts, W, H,
-                                     tile_w=128, tile_h=32, chunk=32)
+                                     tile_w=128, tile_h=32, chunk=64)
         assert np.all(np.asarray(d_p) == 1.0)
         assert np.all(np.asarray(i_p) == -1)

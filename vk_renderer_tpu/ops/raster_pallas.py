@@ -120,7 +120,7 @@ def _kernel(counts_ref, fdata_hbm, initd_ref, initi_ref,
 
         pl.run_scoped(
             scoped,
-            pltpu.SMEM((8, 128), jnp.float32),
+            pltpu.SMEM(((chunk * F_FIELDS) // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         )
 
@@ -140,6 +140,8 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
     anchor = setup_padded["anchor"]
     sentinel = edge.shape[0] - 1
 
+    assert (chunk * F_FIELDS) % 1024 == 0, \
+        "chunk records must be whole (8,128) tiles (chunk multiple of 64)"
     rows, cols, cap = bins.shape
     n_chunks = cdiv(cap, chunk)
     cap_pad = n_chunks * chunk
@@ -157,7 +159,8 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
                          constant_values=sentinel)
     fdata = f[bins_f]
     fdata = fdata.at[:, :, 14].set(bins_f.astype(jnp.float32))
-    fdata = fdata.reshape(-1, 8, 128)   # one (8,128) tile per chunk record
+    rec_tiles = (chunk * F_FIELDS) // 1024
+    fdata = fdata.reshape(-1, rec_tiles * 8, 128)  # whole (8,128) tiles per record
 
     if init_depth is None:
         initd = jnp.ones((n_tiles, tile_h, tile_w), jnp.float32)
