@@ -45,8 +45,11 @@ def test_attribute_interpolation_matches_oracle():
     weights = interp.interpolation_weights(tid, padded)
     tris_p = jnp.concatenate([jnp.asarray(tris, jnp.int32),
                               jnp.zeros((1, 3), jnp.int32)])
-    corners = interp.gather_corners(jnp.asarray(attr, jnp.float32), tris_p, tid)
-    vals = np.asarray(interp.interpolate(corners, weights["lam"]))
+    vidx = interp.corner_indices(tris_p, weights["ids"])
+    attr_j = jnp.asarray(attr, jnp.float32)
+    vals = np.stack([np.asarray(interp.interp_channel(attr_j[:, c], vidx,
+                                                      weights["lam"]))
+                     for c in range(attr.shape[1])], axis=-1)
 
     both = (np.asarray(tid) == oi) & (oi >= 0)
     assert both.sum() > 500
@@ -54,7 +57,7 @@ def test_attribute_interpolation_matches_oracle():
     assert err < 2e-3, f"interpolation error {err}"
 
     # weights themselves: perspective-correct barycentrics vs oracle
-    lam = np.asarray(weights["lam"])
+    lam = np.stack([np.asarray(l) for l in weights["lam"]], axis=-1)
     lam_err = np.abs(lam[both] - obary[both]).max()
     assert lam_err < 2e-3, f"barycentric error {lam_err}"
 
@@ -79,9 +82,13 @@ def test_derivatives_match_finite_differences():
                                     tile_h=32, chunk=32)
     weights = interp.interpolation_weights(tid, padded)
     tris_p = jnp.concatenate([jnp.asarray(tris), jnp.zeros((1, 3), jnp.int32)])
-    corners = interp.gather_corners(jnp.asarray(uvs), tris_p, tid)
-    uv, ddx, ddy = (np.asarray(a) for a in
-                    interp.interpolate_with_derivs(corners, weights))
+    vidx = interp.corner_indices(tris_p, weights["ids"])
+    uvs_j = jnp.asarray(uvs)
+    u, dudx, dudy = interp.interp_channel_with_derivs(uvs_j[:, 0], vidx, weights)
+    v, dvdx, dvdy = interp.interp_channel_with_derivs(uvs_j[:, 1], vidx, weights)
+    uv = np.stack([np.asarray(u), np.asarray(v)], -1)
+    ddx = np.stack([np.asarray(dudx), np.asarray(dvdx)], -1)
+    ddy = np.stack([np.asarray(dudy), np.asarray(dvdy)], -1)
 
     t = np.asarray(tid)
     inner = (t >= 0)

@@ -87,10 +87,11 @@ class TestTextureHeap:
     def test_default_slots_match_reference_quirk(self):
         b, ids = textures.make_default_heap()
         t = b.build()
-        # slot 0 = flat normal (vk_engine_init.cpp:351-355 double write)
-        np.testing.assert_allclose(t.texels[t.mip_offsets[0, 0]],
+        # slot 0 = flat normal (vk_engine_init.cpp:351-355 double write);
+        # heap is planar channels-first
+        np.testing.assert_allclose(t.texels[:, t.mip_offsets[0, 0]],
                                    [128 / 255, 128 / 255, 1.0, 1.0], atol=1e-6)
-        np.testing.assert_allclose(t.texels[t.mip_offsets[1, 0]], [1, 1, 1, 1])
+        np.testing.assert_allclose(t.texels[:, t.mip_offsets[1, 0]], [1, 1, 1, 1])
 
     def test_mip_chain_counts(self):
         b = textures.TextureHeapBuilder()
@@ -114,8 +115,8 @@ class TestTextureHeap:
         i = b.add(img, srgb=True, mipmapped=False)
         t = b.build()
         # sRGB 128/255 -> linear ~0.2158; alpha stays 128/255
-        assert t.texels[t.mip_offsets[i, 0]][0] == pytest.approx(0.21586, abs=1e-4)
-        assert t.texels[t.mip_offsets[i, 0]][3] == pytest.approx(128 / 255, abs=1e-6)
+        assert t.texels[0, t.mip_offsets[i, 0]] == pytest.approx(0.21586, abs=1e-4)
+        assert t.texels[3, t.mip_offsets[i, 0]] == pytest.approx(128 / 255, abs=1e-6)
 
     def test_min_alpha_classification(self):
         b = textures.TextureHeapBuilder()

@@ -69,20 +69,22 @@ def _make_alpha_fn(scene, tris_p, tri_mat_p):
     uvs = scene.uvs
 
     def alpha_fn(ids, e0, e1, e2):
-        vidx = tris_p[ids]                                # [NT, C, 3]
-        uv_c = uvs[vidx]                                  # [NT, C, 3, 2]
+        # per-corner planar takes ([NT, C] index arrays)
+        vi = [jnp.take(tris_p[:, k], ids) for k in range(3)]
+        u_c = [jnp.take(uvs[:, 0], v) for v in vi]        # [NT, C] each
+        v_c = [jnp.take(uvs[:, 1], v) for v in vi]
         esum = e0 + e1 + e2
         d = jnp.where(esum != 0.0, esum, 1.0)
         w0, w1, w2 = e0 / d, e1 / d, e2 / d               # [NT, P, C]
-        uv = (w0[..., None] * uv_c[:, None, :, 0]
-              + w1[..., None] * uv_c[:, None, :, 1]
-              + w2[..., None] * uv_c[:, None, :, 2])      # [NT, P, C, 2]
-        mat = tri_mat_p[ids]                              # [NT, C]
-        aid = scene.mat_tex_ids[mat][..., 0]              # [NT, C]
-        aid_b = jnp.broadcast_to(aid[:, None, :], uv.shape[:-1])
+        u = w0 * u_c[0][:, None] + w1 * u_c[1][:, None] + w2 * u_c[2][:, None]
+        v = w0 * v_c[0][:, None] + w1 * v_c[1][:, None] + w2 * v_c[2][:, None]
+        mat = jnp.take(tri_mat_p, ids)                    # [NT, C]
+        aid = jnp.take(scene.mat_tex_ids[:, 0], mat)      # [NT, C]
+        aid_b = jnp.broadcast_to(aid[:, None, :], u.shape)
         # cheap LOD-0 alpha in raster; the winner is re-sampled with full
         # trilinear in shading (documented deviation on mip-ed cutouts)
-        alpha = tex.sample_bilinear_lod0(scene.textures, aid_b, uv)[..., 3]
+        (alpha,) = tex.sample_bilinear_lod0(scene.textures, aid_b, u, v,
+                                            channels=(3,))
         return alpha >= 0.5
 
     return alpha_fn
@@ -211,7 +213,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     gbuf = _build_gbuffer(scene, scene_data, tid, padded, tris_p, tri_mat_p,
                           world_pos, world_nrm)
 
-    # ---- shading
+    # ---- shading (planar channels)
     shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
     rgb, _alpha = shader(gbuf, scene, scene_data, shadow_maps,
                          cfg.shadow_mode, cfg.enable_shadows)
@@ -219,12 +221,14 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     # ---- compose onto background (clear (0,0,0) or gradient;
     #      vk_engine_run.cpp:246-248)
     blend = ((jnp.arange(h, dtype=jnp.float32) + y_offset)
-             / full_height)[None, :, None]
-    grad = (settings["bg_top"][:3].reshape(3, 1, 1) * (1.0 - blend)
-            + settings["bg_bottom"][:3].reshape(3, 1, 1) * blend)
-    bg = jnp.broadcast_to(grad, (3, h, w)) * settings["enable_background"]
-    covered = (tid >= 0)[None]
-    color = jnp.where(covered, rgb.transpose(2, 0, 1), bg)
+             / full_height)[:, None]
+    covered = tid >= 0
+    color = []
+    for c in range(3):
+        bg_c = (settings["bg_top"][c] * (1.0 - blend)
+                + settings["bg_bottom"][c] * blend) * settings["enable_background"]
+        color.append(jnp.where(covered, rgb[c], bg_c))
+    color = tuple(color)
 
     # ---- skybox fills untouched depth (vk_engine_run.cpp:313)
     if cfg.use_skybox and scene.cubemap is not None:
@@ -239,7 +243,8 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                                   tris_p, tri_mat_p, world_pos, world_nrm,
                                   is_transp, depth, shadow_maps, color)
 
-    # ---- tonemap postprocess (tonemap.comp)
+    # ---- tonemap postprocess (tonemap.comp), then pack planar -> [3, H, W]
+    color = jnp.stack(color)
     toned = post.tonemap_xla(color)
     color = jnp.where(settings["enable_postprocess"] > 0.5, toned, color)
 
@@ -251,22 +256,32 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
 
 def _build_gbuffer(scene, scene_data, tid, padded, tris_p, tri_mat_p,
                    world_pos, world_nrm):
+    """Planar G-buffer (see ops/shade.py docstring for the key list)."""
     weights = interp.interpolation_weights(tid, padded)
+    ids = weights["ids"]
+    vidx = interp.corner_indices(tris_p, ids)
     lam = weights["lam"]
-    normal = interp.interpolate(interp.gather_corners(world_nrm, tris_p, tid), lam)
-    colors = interp.interpolate(
-        interp.gather_corners(scene.colors[:, :3], tris_p, tid), lam)
-    world = interp.interpolate(interp.gather_corners(world_pos, tris_p, tid), lam)
-    uv, duvdx, duvdy = interp.interpolate_with_derivs(
-        interp.gather_corners(scene.uvs, tris_p, tid), weights)
+
+    g = {}
+    g["nx"] = interp.interp_channel(world_nrm[:, 0], vidx, lam)
+    g["ny"] = interp.interp_channel(world_nrm[:, 1], vidx, lam)
+    g["nz"] = interp.interp_channel(world_nrm[:, 2], vidx, lam)
+    g["cr"] = interp.interp_channel(scene.colors[:, 0], vidx, lam)
+    g["cg"] = interp.interp_channel(scene.colors[:, 1], vidx, lam)
+    g["cb"] = interp.interp_channel(scene.colors[:, 2], vidx, lam)
+    g["wx"] = interp.interp_channel(world_pos[:, 0], vidx, lam)
+    g["wy"] = interp.interp_channel(world_pos[:, 1], vidx, lam)
+    g["wz"] = interp.interp_channel(world_pos[:, 2], vidx, lam)
+    g["u"], g["dudx"], g["dudy"] = interp.interp_channel_with_derivs(
+        scene.uvs[:, 0], vidx, weights)
+    g["v"], g["dvdx"], g["dvdy"] = interp.interp_channel_with_derivs(
+        scene.uvs[:, 1], vidx, weights)
     view = scene_data["view"]
-    view_z = common_einsum("hwc,c->hw", world, view[2, :3]) + view[2, 3]
-    sentinel = tris_p.shape[0] - 1
-    ids = jnp.where(tid < 0, sentinel, tid)
-    mat_id = tri_mat_p[ids]
-    return {"normal": normal, "color": colors, "uv": uv,
-            "duvdx": duvdx, "duvdy": duvdy, "world": world,
-            "view_z": view_z, "mat_id": mat_id, "covered": tid >= 0}
+    g["view_z"] = (g["wx"] * view[2, 0] + g["wy"] * view[2, 1]
+                   + g["wz"] * view[2, 2] + view[2, 3])
+    g["mat_id"] = jnp.take(tri_mat_p, ids)
+    g["covered"] = tid >= 0
+    return g
 
 
 def _transparent_pass(scene, scene_data, settings, cfg, st, padded, tris_p,
@@ -297,7 +312,8 @@ def _transparent_pass(scene, scene_data, settings, cfg, st, padded, tris_p,
         rgb, alpha = shader(gbuf, scene, scene_data, shadow_maps,
                             cfg.shadow_mode, cfg.enable_shadows)
         contrib = (tidt >= 0) & (alpha >= 0.5)          # discard still applies
-        color = color + jnp.where(contrib[None], rgb.transpose(2, 0, 1), 0.0)
+        color = tuple(c + jnp.where(contrib, rc, 0.0)
+                      for c, rc in zip(color, rgb))
         floor = jnp.where(tidt >= 0, d, 2.0)            # peel past this layer
         return (color, floor), None
 

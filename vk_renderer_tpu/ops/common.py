@@ -43,3 +43,14 @@ def pad_hw(h: int, w: int) -> tuple[int, int]:
 
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """Row gather from a SMALL 2-D table via per-column flat takes.
+
+    XLA's TPU lowering of row gathers from small tables (offset dims) is
+    pathologically slow (~27 ms for 2M 16-float rows from a 4-row table);
+    flat 1-D takes run at memory speed.  Returns idx.shape + (table.shape[1],).
+    """
+    cols = [jnp.take(table[:, c], idx) for c in range(table.shape[1])]
+    return jnp.stack(cols, axis=-1)

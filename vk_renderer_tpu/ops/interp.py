@@ -1,4 +1,4 @@
-"""Per-pixel attribute interpolation from the visibility buffer.
+"""Per-pixel attribute interpolation from the visibility buffer (planar).
 
 The deferred replacement for fixed-function varying interpolation
 (SURVEY.md F3): given the winning triangle per pixel, recompute the three
@@ -8,14 +8,16 @@ barycentric weights.  Attribute derivatives for texture LOD come from the
 closed-form quotient rule on the same coefficients (the hardware computes
 per-quad finite differences instead; the analytic form is smoother and
 avoids helper-lane artifacts — documented deviation).
+
+All per-pixel quantities are planar [H, W] arrays (see ops/texture.py for
+the layout rationale); per-triangle tables are gathered with per-column
+flat takes.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-from .common import einsum
 
 
 def pixel_centers(height: int, width: int):
@@ -25,55 +27,65 @@ def pixel_centers(height: int, width: int):
 
 
 def interpolation_weights(tri_id: jax.Array, setup_padded: dict):
-    """Perspective-correct weights + the raw plane values needed for
-    derivatives.
+    """Perspective-correct weights + plane coefficients for derivatives.
 
-    Returns dict with ``lam`` f32[H,W,3], ``coef`` f32[H,W,3,3] (gathered
-    edge rows), ``esum`` f32[H,W].
+    Returns dict with:
+    - ``lam``: tuple of 3 planar [H, W] weights
+    - ``a``/``b``: tuples of 3 planar edge gradients (for the quotient rule)
+    - ``esum``, ``inv_esum``: planar
     """
-    edge_padded = setup_padded["edge"]
-    anchor_padded = setup_padded["anchor"]
     h, w = tri_id.shape
-    sentinel = edge_padded.shape[0] - 1
+    edge_flat = setup_padded["edge"].reshape(-1, 9)   # [T+1, 9]
+    anchor = setup_padded["anchor"]                   # [T+1, 2]
+    sentinel = edge_flat.shape[0] - 1
     ids = jnp.where(tri_id < 0, sentinel, tri_id)
-    coef = edge_padded[ids]                       # [H, W, 3, 3]
-    anc = anchor_padded[ids]                      # [H, W, 2]
+
     px, py = pixel_centers(h, w)
-    pxa = px - anc[..., 0]
-    pya = py - anc[..., 1]
-    e = (coef[..., 0] * pxa[..., None] + coef[..., 1] * pya[..., None]
-         + coef[..., 2])                          # [H, W, 3]
-    esum = jnp.sum(e, axis=-1)
+    ax = jnp.take(anchor[:, 0], ids)
+    ay = jnp.take(anchor[:, 1], ids)
+    pxa = px - ax
+    pya = py - ay
+
+    a, b, e = [], [], []
+    for i in range(3):
+        ai = jnp.take(edge_flat[:, 3 * i + 0], ids)
+        bi = jnp.take(edge_flat[:, 3 * i + 1], ids)
+        ci = jnp.take(edge_flat[:, 3 * i + 2], ids)
+        a.append(ai)
+        b.append(bi)
+        e.append(ai * pxa + bi * pya + ci)
+    esum = e[0] + e[1] + e[2]
     esafe = jnp.where(esum != 0.0, esum, 1.0)
-    lam = e / esafe[..., None]
-    return {"lam": lam, "coef": coef, "esum": esafe}
+    inv = 1.0 / esafe
+    lam = tuple(ei * inv for ei in e)
+    return {"lam": lam, "a": tuple(a), "b": tuple(b), "esum": esafe,
+            "inv_esum": inv, "ids": ids}
 
 
-def gather_corners(vals: jax.Array, tris_padded: jax.Array,
-                   tri_id: jax.Array) -> jax.Array:
-    """vals f32[V, C] -> per-pixel corner values f32[H, W, 3, C]."""
-    sentinel = tris_padded.shape[0] - 1
-    ids = jnp.where(tri_id < 0, sentinel, tri_id)
-    vidx = tris_padded[ids]                       # [H, W, 3]
-    return vals[vidx]
+def corner_indices(tris_padded: jax.Array, ids: jax.Array):
+    """Per-pixel vertex indices, one planar [H, W] array per corner."""
+    return tuple(jnp.take(tris_padded[:, k], ids) for k in range(3))
 
 
-def interpolate(corners: jax.Array, lam: jax.Array) -> jax.Array:
-    """[H, W, 3, C] x [H, W, 3] -> [H, W, C]."""
-    return einsum("hwkc,hwk->hwc", corners, lam)
+def interp_channel(vals: jax.Array, vidx, lam) -> jax.Array:
+    """Interpolate one per-vertex scalar channel: vals f32[V]."""
+    return (jnp.take(vals, vidx[0]) * lam[0]
+            + jnp.take(vals, vidx[1]) * lam[1]
+            + jnp.take(vals, vidx[2]) * lam[2])
 
 
-def interpolate_with_derivs(corners: jax.Array, weights: dict):
-    """Interpolated value plus d/dx, d/dy (quotient rule over the linear
-    numerator/denominator planes).  corners: [H, W, 3, C]."""
-    lam, coef, esum = weights["lam"], weights["coef"], weights["esum"]
-    val = einsum("hwkc,hwk->hwc", corners, lam)
-    # N(p) = sum_i u_i e_i;  D(p) = sum_i e_i
-    nx = einsum("hwkc,hwk->hwc", corners, coef[..., 0])   # dN/dx
-    ny = einsum("hwkc,hwk->hwc", corners, coef[..., 1])
-    dx_den = jnp.sum(coef[..., 0], axis=-1)                   # dD/dx
-    dy_den = jnp.sum(coef[..., 1], axis=-1)
-    inv = 1.0 / esum
-    ddx = (nx - val * dx_den[..., None]) * inv[..., None]
-    ddy = (ny - val * dy_den[..., None]) * inv[..., None]
+def interp_channel_with_derivs(vals: jax.Array, vidx, weights: dict):
+    """Channel value + d/dx, d/dy via the quotient rule on the linear
+    numerator/denominator planes."""
+    v0 = jnp.take(vals, vidx[0])
+    v1 = jnp.take(vals, vidx[1])
+    v2 = jnp.take(vals, vidx[2])
+    lam, a, b, inv = weights["lam"], weights["a"], weights["b"], weights["inv_esum"]
+    val = v0 * lam[0] + v1 * lam[1] + v2 * lam[2]
+    nx = v0 * a[0] + v1 * a[1] + v2 * a[2]       # dN/dx
+    ny = v0 * b[0] + v1 * b[1] + v2 * b[2]       # dN/dy
+    dax = a[0] + a[1] + a[2]                     # dD/dx
+    day = b[0] + b[1] + b[2]
+    ddx = (nx - val * dax) * inv
+    ddy = (ny - val * day) * inv
     return val, ddx, ddy

@@ -31,11 +31,18 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from .common import einsum
+from .common import einsum, take_rows
 
 CULL_NONE = 0
 CULL_BACK = 1   # keep front faces (geometry pass, vk_engine_init.cpp:536)
 CULL_FRONT = 2  # keep back faces (shadow/skybox, vk_engine_init.cpp:441,626)
+
+
+def _gather_world_rows(obj_world: jax.Array, vert_obj: jax.Array):
+    """Per-vertex world matrix rows via flat takes (small-table row gathers
+    are slow on TPU, see ops/common.take_rows)."""
+    flat = obj_world.reshape(-1, 16)
+    return take_rows(flat, vert_obj)                          # [V, 16]
 
 
 def transform_vertices(positions: jax.Array, vert_obj: jax.Array,
@@ -44,8 +51,13 @@ def transform_vertices(positions: jax.Array, vert_obj: jax.Array,
 
     Returns (world_pos f32[V,3], clip f32[V,4]).
     """
-    w = obj_world[vert_obj]                                   # [V, 4, 4]
-    world = einsum("vij,vj->vi", w[:, :3, :3], positions) + w[:, :3, 3]
+    m = _gather_world_rows(obj_world, vert_obj)               # [V, 16]
+    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
+    world = jnp.stack([
+        m[:, 0] * x + m[:, 1] * y + m[:, 2] * z + m[:, 3],
+        m[:, 4] * x + m[:, 5] * y + m[:, 6] * z + m[:, 7],
+        m[:, 8] * x + m[:, 9] * y + m[:, 10] * z + m[:, 11],
+    ], axis=-1)
     clip = einsum("ij,vj->vi", viewproj[:, :3], world) + viewproj[:, 3]
     # viewproj[:, :3] @ world + viewproj[:, 3] is (viewproj @ [world, 1])
     return world, clip
@@ -55,8 +67,13 @@ def transform_normals(normals: jax.Array, vert_obj: jax.Array,
                       obj_world: jax.Array) -> jax.Array:
     """World-space normals: mat3(world) @ n (mesh.vert:18, not normalized
     until the fragment stage)."""
-    w = obj_world[vert_obj]
-    return einsum("vij,vj->vi", w[:, :3, :3], normals)
+    m = _gather_world_rows(obj_world, vert_obj)
+    x, y, z = normals[:, 0], normals[:, 1], normals[:, 2]
+    return jnp.stack([
+        m[:, 0] * x + m[:, 1] * y + m[:, 2] * z,
+        m[:, 4] * x + m[:, 5] * y + m[:, 6] * z,
+        m[:, 8] * x + m[:, 9] * y + m[:, 10] * z,
+    ], axis=-1)
 
 
 def cull_objects(obj_world: jax.Array, obj_bounds: jax.Array,

@@ -10,15 +10,17 @@ Exact ports of the reference GLSL:
   PCSS (16-tap Poisson blocker search + 16-tap Poisson PCF), CSM =
   cascade-select + PCSS.  Bias 5e-4, biasMat NDC->UV remap.
 
-All functions are dense per-pixel math over [H, W] arrays — pure VPU work.
+All per-pixel math is PLANAR — separate [H, W] arrays per component (see
+ops/texture.py for the layout rationale: [H, W, 3]-style arrays are ~1000x
+slower on TPU).  The G-buffer is a dict of planar arrays:
+  nx ny nz | cr cg cb (vertex color) | u v dudx dvdx dudy dvdy |
+  wx wy wz (world pos) | view_z | mat_id | covered
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-from .common import einsum
 
 from . import texture as tex
 
@@ -32,73 +34,73 @@ LIGHT_FRUSTUM_WIDTH = 200.0
 LIGHT_SIZE_UV = LIGHT_WORLD_SIZE / LIGHT_FRUSTUM_WIDTH
 
 # mesh_pbr.frag:68-85, verbatim
-POISSON_DISK = jnp.array([
-    [-0.94201624, -0.39906216], [0.94558609, -0.76890725],
-    [-0.094184101, -0.92938870], [0.34495938, 0.29387760],
-    [-0.91588581, 0.45771432], [-0.81544232, -0.87912464],
-    [-0.38277543, 0.27676845], [0.97484398, 0.75648379],
-    [0.44323325, -0.97511554], [0.53742981, -0.47373420],
-    [-0.26496911, -0.41893023], [0.79197514, 0.19090188],
-    [-0.24188840, 0.99706507], [-0.81409955, 0.91437590],
-    [0.19984126, 0.78641367], [0.14383161, -0.14100790]], dtype=jnp.float32)
+POISSON_DISK = [
+    (-0.94201624, -0.39906216), (0.94558609, -0.76890725),
+    (-0.094184101, -0.92938870), (0.34495938, 0.29387760),
+    (-0.91588581, 0.45771432), (-0.81544232, -0.87912464),
+    (-0.38277543, 0.27676845), (0.97484398, 0.75648379),
+    (0.44323325, -0.97511554), (0.53742981, -0.47373420),
+    (-0.26496911, -0.41893023), (0.79197514, 0.19090188),
+    (-0.24188840, 0.99706507), (-0.81409955, 0.91437590),
+    (0.19984126, 0.78641367), (0.14383161, -0.14100790)]
 
 
 # ----------------------------------------------------------------------------
-# shadow filter library
+# shadow filter library (planar: coordinates as (su, sv, sz) [H, W] arrays)
 # ----------------------------------------------------------------------------
 
-def _shadow_hard(shadow_maps, coord, layer):
+def _shadow_hard(shadow_maps, su, sv, sz, layer):
     """compute_shadow (mesh_pbr.frag:39-46): 1 tap."""
-    depth = tex.sample_shadow(shadow_maps, coord[..., :2], layer)
-    return jnp.where(depth + SHADOW_BIAS < coord[..., 2], 1.0, 0.0)
+    depth = tex.sample_shadow(shadow_maps, su, sv, layer)
+    return jnp.where(depth + SHADOW_BIAS < sz, 1.0, 0.0)
 
 
-def _shadow_pcf(shadow_maps, coord, layer):
+def _shadow_pcf(shadow_maps, su, sv, sz, layer):
     """PCF 3x3 (mesh_pbr.frag:48-59)."""
-    size = shadow_maps.shape[-1]
-    texel = 1.0 / size
+    texel = 1.0 / shadow_maps.shape[-1]
     acc = 0.0
     for i in (-1, 0, 1):
         for j in (-1, 0, 1):
-            uv = coord[..., :2] + jnp.array([i * texel, j * texel], jnp.float32)
-            d = tex.sample_shadow(shadow_maps, uv, layer)
-            acc = acc + jnp.where(coord[..., 2] - SHADOW_BIAS > d, 1.0, 0.0)
+            d = tex.sample_shadow(shadow_maps, su + i * texel, sv + j * texel,
+                                  layer)
+            acc = acc + jnp.where(sz - SHADOW_BIAS > d, 1.0, 0.0)
     return acc / 9.0
 
 
-def _shadow_pcss(shadow_maps, coord, layer):
+def _shadow_pcss(shadow_maps, su, sv, sz, layer):
     """PCSS (mesh_pbr.frag:87-121)."""
-    z_receiver = coord[..., 2]
-    search_w = LIGHT_SIZE_UV * (z_receiver - NEAR_PLANE) / z_receiver
-    blocker_sum = jnp.zeros_like(z_receiver)
-    n_blockers = jnp.zeros_like(z_receiver)
-    for k in range(NUM_SAMPLES_BLOCKER_SEARCH):
-        uv = coord[..., :2] + POISSON_DISK[k] * search_w[..., None]
-        z = tex.sample_shadow(shadow_maps, uv, layer)
-        hit = z + SHADOW_BIAS < z_receiver
+    search_w = LIGHT_SIZE_UV * (sz - NEAR_PLANE) / sz
+    blocker_sum = jnp.zeros_like(sz)
+    n_blockers = jnp.zeros_like(sz)
+    for (px, py) in POISSON_DISK[:NUM_SAMPLES_BLOCKER_SEARCH]:
+        z = tex.sample_shadow(shadow_maps, su + px * search_w,
+                              sv + py * search_w, layer)
+        hit = z + SHADOW_BIAS < sz
         blocker_sum = blocker_sum + jnp.where(hit, z, 0.0)
         n_blockers = n_blockers + hit.astype(jnp.float32)
-    z_blocker = jnp.where(n_blockers > 0, blocker_sum / jnp.maximum(n_blockers, 1), -1.0)
+    z_blocker = jnp.where(n_blockers > 0,
+                          blocker_sum / jnp.maximum(n_blockers, 1), -1.0)
 
-    penumbra = (z_receiver - z_blocker) / z_blocker
-    radius = penumbra * LIGHT_SIZE_UV * NEAR_PLANE / z_receiver
-    acc = jnp.zeros_like(z_receiver)
-    for k in range(NUM_SAMPLES_PCF):
-        uv = coord[..., :2] + POISSON_DISK[k] * radius[..., None]
-        d = tex.sample_shadow(shadow_maps, uv, layer)
-        acc = acc + jnp.where(z_receiver - SHADOW_BIAS > d, 1.0, 0.0)
+    penumbra = (sz - z_blocker) / z_blocker
+    radius = penumbra * LIGHT_SIZE_UV * NEAR_PLANE / sz
+    acc = jnp.zeros_like(sz)
+    for (px, py) in POISSON_DISK[:NUM_SAMPLES_PCF]:
+        d = tex.sample_shadow(shadow_maps, su + px * radius, sv + py * radius,
+                              layer)
+        acc = acc + jnp.where(sz - SHADOW_BIAS > d, 1.0, 0.0)
     pcf = acc / NUM_SAMPLES_PCF
     return jnp.where(z_blocker < 0, 0.0, pcf)
 
 
-def compute_shadow_factor(shadow_maps, frag_world, frag_view_z, scene_data,
+def compute_shadow_factor(shadow_maps, wx, wy, wz, view_z, scene_data,
                           shadow_mode: int, enable_shadows: bool):
-    """calcShadow (mesh_pbr.frag:127-156).  shadow_mode/enable static."""
+    """calcShadow (mesh_pbr.frag:127-156).  shadow_mode/enable static.
+    World position and view-space z arrive planar."""
     if not enable_shadows:
-        return jnp.zeros_like(frag_view_z)
+        return jnp.zeros_like(view_z)
 
     # cascade selection: first i with |viewZ| < cascadeDistances[i]
-    view_depth = jnp.abs(frag_view_z)
+    view_depth = jnp.abs(view_z)
     dists = scene_data["cascade_distances"]
     n = dists.shape[0]
     layer = jnp.full(view_depth.shape, n - 1, jnp.int32)
@@ -107,23 +109,35 @@ def compute_shadow_factor(shadow_maps, frag_world, frag_view_z, scene_data,
     if shadow_mode < 3:
         layer = jnp.zeros_like(layer)
 
-    # shadowCoord = biasMat @ lightViewproj[layer] @ fragWorld
-    lvp = scene_data["light_viewproj"][layer]            # [H, W, 4, 4]
-    hom = jnp.concatenate([frag_world, jnp.ones_like(frag_world[..., :1])], -1)
-    sc = einsum("hwij,hwj->hwi", lvp, hom)
-    coord = jnp.stack([sc[..., 0] * 0.5 + sc[..., 3] * 0.5,
-                       sc[..., 1] * 0.5 + sc[..., 3] * 0.5,
-                       sc[..., 2]], axis=-1)             # biasMat, ortho w=1
+    # shadowCoord = biasMat @ lightViewproj[layer] @ fragWorld, computed per
+    # cascade with CONSTANT matrices then selected by layer (tiny-table
+    # matrix gathers are pathologically slow on TPU)
+    lvps = scene_data["light_viewproj"]                  # [4, 4, 4]
+
+    def coord_for(m):
+        def row(r):
+            return wx * m[r, 0] + wy * m[r, 1] + wz * m[r, 2] + m[r, 3]
+        x, y, z, w = row(0), row(1), row(2), row(3)
+        return x * 0.5 + w * 0.5, y * 0.5 + w * 0.5, z
+
+    su, sv, sz = coord_for(lvps[0])
+    if shadow_mode >= 3:
+        for i in range(1, lvps.shape[0]):
+            ui, vi, zi = coord_for(lvps[i])
+            sel = layer == i
+            su = jnp.where(sel, ui, su)
+            sv = jnp.where(sel, vi, sv)
+            sz = jnp.where(sel, zi, sz)
 
     if shadow_mode == 0:
-        return _shadow_hard(shadow_maps, coord, layer)
+        return _shadow_hard(shadow_maps, su, sv, sz, layer)
     if shadow_mode == 1:
-        return _shadow_pcf(shadow_maps, coord, layer)
-    return _shadow_pcss(shadow_maps, coord, layer)       # PCSS and CSM
+        return _shadow_pcf(shadow_maps, su, sv, sz, layer)
+    return _shadow_pcss(shadow_maps, su, sv, sz, layer)  # PCSS and CSM
 
 
 # ----------------------------------------------------------------------------
-# BRDF
+# BRDF helpers (planar scalars)
 # ----------------------------------------------------------------------------
 
 def _distribution_ggx(n_dot_h, roughness):
@@ -140,70 +154,97 @@ def _geometry_schlick_ggx(n_dot_v, roughness):
 
 
 def _fresnel_schlick(cos_theta, f0):
-    return f0 + (1.0 - f0) * jnp.power(jnp.clip(1.0 - cos_theta, 0.0, 1.0), 5.0)
+    p = jnp.power(jnp.clip(1.0 - cos_theta, 0.0, 1.0), 5.0)
+    return f0 + (1.0 - f0) * p
+
+
+def _normalize3(x, y, z):
+    inv = jax.lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-40))
+    return x * inv, y * inv, z * inv
+
+
+def _mat_take(table, col, idx):
+    return jnp.take(table[:, col], idx)
 
 
 def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
               shadow_mode: int, enable_shadows: bool):
-    """mesh_pbr.frag main (185-226) over the G-buffer.
-
-    gbuf keys: normal[H,W,3] (unnormalized), color[H,W,3] (vertex rgb),
-    uv[H,W,2], duvdx, duvdy, world[H,W,3], view_z[H,W], mat_id[H,W] (i32),
-    covered[H,W] (bool).
-    Returns (rgb f32[H,W,3], albedo_alpha f32[H,W] for the caller's
-    discard handling).
-    """
-    normal = gbuf["normal"]
-    n = normal / jnp.maximum(
-        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
-    cam_pos = scene_data["cam_pos"]
-    v = cam_pos - gbuf["world"]
-    v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-20)
-    sun = scene_data["sunlight_direction"][:3]
-    l = -sun / jnp.maximum(jnp.linalg.norm(sun), 1e-20)
-    h = v + l
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+    """mesh_pbr.frag main (185-226) over the planar G-buffer.
+    Returns ((r, g, b), albedo_alpha), all planar [H, W]."""
+    nx, ny, nz = _normalize3(gbuf["nx"], gbuf["ny"], gbuf["nz"])
+    cam = scene_data["cam_pos"]
+    vx, vy, vz = _normalize3(cam[0] - gbuf["wx"], cam[1] - gbuf["wy"],
+                             cam[2] - gbuf["wz"])
+    sun = scene_data["sunlight_direction"]
+    inv_sun = jax.lax.rsqrt(jnp.maximum(
+        sun[0] ** 2 + sun[1] ** 2 + sun[2] ** 2, 1e-40))
+    lx, ly, lz = -sun[0] * inv_sun, -sun[1] * inv_sun, -sun[2] * inv_sun
+    hx, hy, hz = _normalize3(vx + lx, vy + ly, vz + lz)
 
     mat_id = gbuf["mat_id"]
-    tex_ids = scene.mat_tex_ids[mat_id]                  # [H, W, 3]
-    color_factors = scene.mat_color_factors[mat_id]
-    mr_factors = scene.mat_metal_rough[mat_id]
+    albedo_id = _mat_take(scene.mat_tex_ids, 0, mat_id)
+    mr_id = _mat_take(scene.mat_tex_ids, 2, mat_id)
+    cf_r = _mat_take(scene.mat_color_factors, 0, mat_id)
+    cf_g = _mat_take(scene.mat_color_factors, 1, mat_id)
+    cf_b = _mat_take(scene.mat_color_factors, 2, mat_id)
+    metal_f = _mat_take(scene.mat_metal_rough, 0, mat_id)
+    rough_f = _mat_take(scene.mat_metal_rough, 1, mat_id)
 
-    albedo_tex = tex.sample_trilinear(scene.textures, tex_ids[..., 0],
-                                      gbuf["uv"], gbuf["duvdx"], gbuf["duvdy"])
-    albedo = color_factors[..., :3] * albedo_tex[..., :3] * gbuf["color"]
-    mr_tex = tex.sample_trilinear(scene.textures, tex_ids[..., 2],
-                                  gbuf["uv"], gbuf["duvdx"], gbuf["duvdy"])
-    metallic = mr_factors[..., 0] * mr_tex[..., 2]       # factor * tex.b
-    roughness = mr_factors[..., 1] * mr_tex[..., 1]      # factor * tex.g
+    at_r, at_g, at_b, at_a = tex.sample_trilinear(
+        scene.textures, albedo_id, gbuf["u"], gbuf["v"],
+        gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"])
+    alb_r = cf_r * at_r * gbuf["cr"]
+    alb_g = cf_g * at_g * gbuf["cg"]
+    alb_b = cf_b * at_b * gbuf["cb"]
+    # metallic = factor * tex.b, roughness = factor * tex.g (frag:196-197)
+    mr_g, mr_b = tex.sample_trilinear(
+        scene.textures, mr_id, gbuf["u"], gbuf["v"],
+        gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"],
+        channels=(1, 2))
+    metallic = metal_f * mr_b
+    roughness = rough_f * mr_g
 
-    f0 = jnp.full_like(albedo, 0.04)
-    f0 = f0 * (1.0 - metallic[..., None]) + albedo * metallic[..., None]
+    f0_r = 0.04 * (1.0 - metallic) + alb_r * metallic
+    f0_g = 0.04 * (1.0 - metallic) + alb_g * metallic
+    f0_b = 0.04 * (1.0 - metallic) + alb_b * metallic
 
-    n_dot_v = jnp.maximum(jnp.sum(n * v, -1), 0.0)
-    n_dot_l = jnp.maximum(jnp.sum(n * l, -1), 0.0)
-    n_dot_h = jnp.maximum(jnp.sum(n * h, -1), 0.0)
-    h_dot_v = jnp.maximum(jnp.sum(h * v, -1), 0.0)
+    n_dot_v = jnp.maximum(nx * vx + ny * vy + nz * vz, 0.0)
+    n_dot_l = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
+    n_dot_h = jnp.maximum(nx * hx + ny * hy + nz * hz, 0.0)
+    h_dot_v = jnp.maximum(hx * vx + hy * vy + hz * vz, 0.0)
 
     ndf = _distribution_ggx(n_dot_h, roughness)
     g = (_geometry_schlick_ggx(n_dot_v, roughness)
          * _geometry_schlick_ggx(n_dot_l, roughness))
-    f = _fresnel_schlick(h_dot_v[..., None], f0)
+    fr = _fresnel_schlick(h_dot_v, f0_r)
+    fg = _fresnel_schlick(h_dot_v, f0_g)
+    fb = _fresnel_schlick(h_dot_v, f0_b)
 
-    k_d = (1.0 - f) * (1.0 - metallic[..., None])
-    numerator = ndf[..., None] * g[..., None] * f
-    denominator = 4.0 * n_dot_v * n_dot_l + 0.0001
-    specular = numerator / denominator[..., None]
+    one_minus_metal = 1.0 - metallic
+    kd_r = (1.0 - fr) * one_minus_metal
+    kd_g = (1.0 - fg) * one_minus_metal
+    kd_b = (1.0 - fb) * one_minus_metal
 
-    radiance = scene_data["sunlight_color"][:3]
-    lo = (k_d * albedo / PI + specular) * (n_dot_l[..., None] * radiance)
+    denom = 4.0 * n_dot_v * n_dot_l + 0.0001
+    ndf_g = ndf * g
+    spec_r = ndf_g * fr / denom
+    spec_g = ndf_g * fg / denom
+    spec_b = ndf_g * fb / denom
 
-    ambient = scene_data["ambient_color"][:3] * albedo
+    rad = scene_data["sunlight_color"]
+    lo_r = (kd_r * alb_r / PI + spec_r) * n_dot_l * rad[0]
+    lo_g = (kd_g * alb_g / PI + spec_g) * n_dot_l * rad[1]
+    lo_b = (kd_b * alb_b / PI + spec_b) * n_dot_l * rad[2]
 
-    shadow = compute_shadow_factor(shadow_maps, gbuf["world"], gbuf["view_z"],
-                                   scene_data, shadow_mode, enable_shadows)
-    rgb = ambient + lo * (1.0 - shadow[..., None])
-    return rgb, albedo_tex[..., 3]
+    amb = scene_data["ambient_color"]
+    shadow = compute_shadow_factor(shadow_maps, gbuf["wx"], gbuf["wy"],
+                                   gbuf["wz"], gbuf["view_z"], scene_data,
+                                   shadow_mode, enable_shadows)
+    lit = 1.0 - shadow
+    out_r = amb[0] * alb_r + lo_r * lit
+    out_g = amb[1] * alb_g + lo_g * lit
+    out_b = amb[2] * alb_b + lo_b * lit
+    return (out_r, out_g, out_b), at_a
 
 
 def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
@@ -211,22 +252,31 @@ def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
     """mesh.frag main (124-182): Lambert + ambient with the same shadow
     library and alpha handling."""
     mat_id = gbuf["mat_id"]
-    tex_ids = scene.mat_tex_ids[mat_id]
-    color_factors = scene.mat_color_factors[mat_id]
-    albedo_tex = tex.sample_trilinear(scene.textures, tex_ids[..., 0],
-                                      gbuf["uv"], gbuf["duvdx"], gbuf["duvdy"])
-    color = gbuf["color"] * albedo_tex[..., :3] * color_factors[..., :3]
+    albedo_id = _mat_take(scene.mat_tex_ids, 0, mat_id)
+    cf_r = _mat_take(scene.mat_color_factors, 0, mat_id)
+    cf_g = _mat_take(scene.mat_color_factors, 1, mat_id)
+    cf_b = _mat_take(scene.mat_color_factors, 2, mat_id)
+    at_r, at_g, at_b, at_a = tex.sample_trilinear(
+        scene.textures, albedo_id, gbuf["u"], gbuf["v"],
+        gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"])
+    col_r = gbuf["cr"] * at_r * cf_r
+    col_g = gbuf["cg"] * at_g * cf_g
+    col_b = gbuf["cb"] * at_b * cf_b
 
-    normal = gbuf["normal"]
-    n = normal / jnp.maximum(
-        jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-20)
-    sun = scene_data["sunlight_direction"][:3]
-    l = -sun / jnp.maximum(jnp.linalg.norm(sun), 1e-20)
-    n_dot_l = jnp.maximum(jnp.sum(n * l, -1), 0.0)
+    nx, ny, nz = _normalize3(gbuf["nx"], gbuf["ny"], gbuf["nz"])
+    sun = scene_data["sunlight_direction"]
+    inv_sun = jax.lax.rsqrt(jnp.maximum(
+        sun[0] ** 2 + sun[1] ** 2 + sun[2] ** 2, 1e-40))
+    lx, ly, lz = -sun[0] * inv_sun, -sun[1] * inv_sun, -sun[2] * inv_sun
+    n_dot_l = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
 
-    shadow = compute_shadow_factor(shadow_maps, gbuf["world"], gbuf["view_z"],
-                                   scene_data, shadow_mode, enable_shadows)
-    diffuse = n_dot_l[..., None] * color * scene_data["sunlight_color"][:3]
-    ambient = scene_data["ambient_color"][:3] * color
-    rgb = diffuse * (1.0 - shadow[..., None]) + ambient
-    return rgb, albedo_tex[..., 3]
+    shadow = compute_shadow_factor(shadow_maps, gbuf["wx"], gbuf["wy"],
+                                   gbuf["wz"], gbuf["view_z"], scene_data,
+                                   shadow_mode, enable_shadows)
+    lit = 1.0 - shadow
+    rad = scene_data["sunlight_color"]
+    amb = scene_data["ambient_color"]
+    out_r = n_dot_l * col_r * rad[0] * lit + amb[0] * col_r
+    out_g = n_dot_l * col_g * rad[1] * lit + amb[1] * col_g
+    out_b = n_dot_l * col_b * rad[2] * lit + amb[2] * col_b
+    return (out_r, out_g, out_b), at_a

@@ -1,4 +1,4 @@
-"""Skybox pass — per-pixel ray-direction cubemap sampling.
+"""Skybox pass — per-pixel ray-direction cubemap sampling (planar).
 
 The reference rasterizes the 2x2x2 cube with the view's rotation only and
 ``gl_Position = pos.xyww`` so depth==1 everywhere (shaders/skybox.vert:8-17),
@@ -18,16 +18,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .common import einsum
-
 from . import texture as tex
 from .interp import pixel_centers
 
 
 def skybox_colors(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
                   height: int, width: int, y_offset=0.0,
-                  full_height: int | None = None) -> jax.Array:
-    """f32[H, W, 3] cubemap colors for every pixel.  ``y_offset``/
+                  full_height: int | None = None):
+    """(r, g, b) planar [H, W] cubemap colors for every pixel.  ``y_offset``/
     ``full_height`` locate a horizontal strip within the full frame (the
     multi-chip sharding path)."""
     full_height = height if full_height is None else full_height
@@ -35,20 +33,22 @@ def skybox_colors(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
     ndc_x = px * (2.0 / width) - 1.0
     ndc_y = (py + y_offset) * (2.0 / full_height) - 1.0
     # view-space ray: clip.x = P00*xv, clip.y = P11*yv, w = -zv
-    dir_view = jnp.stack([ndc_x / proj[0, 0], ndc_y / proj[1, 1],
-                          -jnp.ones_like(ndc_x)], axis=-1)
-    rot = view[:3, :3]                       # R^T (orthonormal camera view)
-    dir_world = einsum("ji,hwj->hwi", rot, dir_view)  # R @ d = view^T @ d
-    dir_world = dir_world * jnp.array([1.0, -1.0, 1.0])   # UVW y flip
-    return tex.sample_cubemap(cubemap, dir_world)
+    rx = ndc_x / proj[0, 0]
+    ry = ndc_y / proj[1, 1]
+    # world dir = R @ d_view = view[:3,:3]^T @ d_view (orthonormal camera)
+    rot = view[:3, :3]
+    dx = rot[0, 0] * rx + rot[1, 0] * ry - rot[2, 0]
+    dy = rot[0, 1] * rx + rot[1, 1] * ry - rot[2, 1]
+    dz = rot[0, 2] * rx + rot[1, 2] * ry - rot[2, 2]
+    return tex.sample_cubemap(cubemap, dx, -dy, dz)   # UVW y flip
 
 
-def composite_skybox(color: jax.Array, depth: jax.Array, cubemap: jax.Array,
+def composite_skybox(color, depth: jax.Array, cubemap: jax.Array,
                      view: jax.Array, proj: jax.Array, y_offset=0.0,
-                     full_height: int | None = None) -> jax.Array:
+                     full_height: int | None = None):
     """Overwrite pixels still at clear depth (==1.0) with the skybox
-    (depth LESS_OR_EQUAL at z=1, write off).  color: f32[3, H, W]."""
+    (depth LESS_OR_EQUAL at z=1, write off).  color: (r, g, b) planar."""
     h, w = depth.shape
     sky = skybox_colors(cubemap, view, proj, h, w, y_offset, full_height)
-    mask = (depth >= 1.0)[None, :, :]
-    return jnp.where(mask, sky.transpose(2, 0, 1), color)
+    mask = depth >= 1.0
+    return tuple(jnp.where(mask, s, c) for s, c in zip(sky, color))

@@ -13,6 +13,11 @@ Replicates the reference's sampler states:
 LOD follows the Vulkan spec's isotropic approximation:
 ``lambda = log2(max(|dUV/dx|, |dUV/dy|))`` in level-0 texel units, then
 trilinear blend between the two bracketing mips.
+
+LAYOUT: everything is planar — per-pixel quantities are separate [H, W]
+arrays and the heap is channels-first f32[4, N].  Arrays shaped [H, W, c]
+with a tiny minor dimension are catastrophically slow on TPU (the 3-wide
+lane dim pads to 128); planar form runs the same math ~1000x faster.
 """
 
 from __future__ import annotations
@@ -21,89 +26,101 @@ import jax
 import jax.numpy as jnp
 
 
-def _gather_texels(texels: jax.Array, flat_idx: jax.Array) -> jax.Array:
-    """heap f32[N, 4] gather -> [..., 4]."""
-    return texels[flat_idx]
+def _desc_take(offsets, sizes, tex_id, level):
+    """Per-(texture,mip) descriptor lookups via flat takes (small-table row
+    gathers are slow on TPU, see ops/common.take_rows)."""
+    max_mips = offsets.shape[1]
+    flat = tex_id * max_mips + level
+    off = jnp.take(offsets.reshape(-1), flat)
+    w = jnp.take(sizes[:, :, 0].reshape(-1), flat)
+    h = jnp.take(sizes[:, :, 1].reshape(-1), flat)
+    return off, w, h
 
 
-def _bilinear_level(texels, offsets, sizes, tex_id, uv, level):
-    """One mip level, REPEAT wrap, bilinear.  uv: [..., 2] in [0,1)-ish.
-    tex_id/level: int arrays broadcastable to uv's batch shape."""
-    off = offsets[tex_id, level]                       # [...]
-    w = sizes[tex_id, level, 0]
-    h = sizes[tex_id, level, 1]
-    wf = w.astype(jnp.float32)
-    hf = h.astype(jnp.float32)
-
-    x = uv[..., 0] * wf - 0.5
-    y = uv[..., 1] * hf - 0.5
+def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level,
+                    channels=(0, 1, 2, 3)):
+    """One mip level, REPEAT wrap, bilinear.  u/v: [H, W] planar.
+    Returns a tuple of [H, W] arrays, one per requested channel."""
+    off, w, h = _desc_take(offsets, sizes, tex_id, level)
+    x = u * w.astype(jnp.float32) - 0.5
+    y = v * h.astype(jnp.float32) - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
+    fx = x - x0
+    fy = y - y0
 
     def wrap(i, n):  # REPEAT
         return jnp.mod(i.astype(jnp.int32), n)
 
     x0i = wrap(x0, w); x1i = wrap(x0 + 1, w)
     y0i = wrap(y0, h); y1i = wrap(y0 + 1, h)
+    i00 = off + y0i * w + x0i
+    i10 = off + y0i * w + x1i
+    i01 = off + y1i * w + x0i
+    i11 = off + y1i * w + x1i
 
-    base = off
-    t00 = _gather_texels(texels, base + y0i * w + x0i)
-    t10 = _gather_texels(texels, base + y0i * w + x1i)
-    t01 = _gather_texels(texels, base + y1i * w + x0i)
-    t11 = _gather_texels(texels, base + y1i * w + x1i)
-    top = t00 * (1 - fx) + t10 * fx
-    bot = t01 * (1 - fx) + t11 * fx
-    return top * (1 - fy) + bot * fy
+    out = []
+    for c in channels:
+        plane = texels[c]
+        t00 = jnp.take(plane, i00)
+        t10 = jnp.take(plane, i10)
+        t01 = jnp.take(plane, i01)
+        t11 = jnp.take(plane, i11)
+        top = t00 + (t10 - t00) * fx
+        bot = t01 + (t11 - t01) * fx
+        out.append(top + (bot - top) * fy)
+    return tuple(out)
 
 
-def sample_trilinear(textures, tex_id: jax.Array, uv: jax.Array,
-                     duvdx: jax.Array, duvdy: jax.Array) -> jax.Array:
-    """Full trilinear sample of the heap. tex_id: i32[...], uv/derivs [...,2].
-    Returns RGBA f32[..., 4]."""
-    texels = textures.texels
-    offsets, sizes, n_mips = textures.mip_offsets, textures.mip_sizes, textures.n_mips
-
-    size0 = sizes[tex_id, 0].astype(jnp.float32)       # [..., 2] (w, h)
-    # scale derivatives to level-0 texel units
-    ddx = duvdx * size0
-    ddy = duvdy * size0
-    rho = jnp.maximum(jnp.sqrt(jnp.sum(ddx * ddx, axis=-1)),
-                      jnp.sqrt(jnp.sum(ddy * ddy, axis=-1)))
+def compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy):
+    """Vulkan isotropic LOD from planar UV derivatives."""
+    sizes, n_mips = textures.mip_sizes, textures.n_mips
+    w0 = jnp.take(sizes[:, 0, 0], tex_id).astype(jnp.float32)
+    h0 = jnp.take(sizes[:, 0, 1], tex_id).astype(jnp.float32)
+    rho = jnp.maximum(
+        jnp.sqrt((dudx * w0) ** 2 + (dvdx * h0) ** 2),
+        jnp.sqrt((dudy * w0) ** 2 + (dvdy * h0) ** 2))
     lam = jnp.log2(jnp.maximum(rho, 1e-12))
-    max_level = (n_mips[tex_id] - 1).astype(jnp.float32)
-    lam = jnp.clip(lam, 0.0, max_level)
+    max_level = (jnp.take(n_mips, tex_id) - 1).astype(jnp.float32)
+    return jnp.clip(lam, 0.0, max_level), max_level
 
+
+def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
+                     channels=(0, 1, 2, 3)):
+    """Full trilinear sample.  All per-pixel args planar [H, W].
+    Returns a tuple of [H, W] planes for the requested channels."""
+    lam, max_level = compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy)
     l0 = jnp.floor(lam).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
-    frac = (lam - l0.astype(jnp.float32))[..., None]
+    frac = lam - l0.astype(jnp.float32)
 
-    c0 = _bilinear_level(texels, offsets, sizes, tex_id, uv, l0)
-    c1 = _bilinear_level(texels, offsets, sizes, tex_id, uv, l1)
-    return c0 * (1 - frac) + c1 * frac
+    c0 = _bilinear_level(textures.texels, textures.mip_offsets,
+                         textures.mip_sizes, tex_id, u, v, l0, channels)
+    c1 = _bilinear_level(textures.texels, textures.mip_offsets,
+                         textures.mip_sizes, tex_id, u, v, l1, channels)
+    return tuple(a + (b - a) * frac for a, b in zip(c0, c1))
 
 
-def sample_bilinear_lod0(textures, tex_id: jax.Array, uv: jax.Array) -> jax.Array:
+def sample_bilinear_lod0(textures, tex_id, u, v, channels=(0, 1, 2, 3)):
     """Bilinear sample at the base level (no mip chain)."""
     return _bilinear_level(textures.texels, textures.mip_offsets,
-                           textures.mip_sizes, tex_id, uv,
-                           jnp.zeros_like(tex_id))
+                           textures.mip_sizes, tex_id, u, v,
+                           jnp.zeros_like(tex_id), channels)
 
 
 # ----------------------------------------------------------------------------
 # shadow map: 2D array, linear filter, clamp-to-border white
 # ----------------------------------------------------------------------------
 
-def sample_shadow(shadow_maps: jax.Array, uv: jax.Array,
+def sample_shadow(shadow_maps: jax.Array, u: jax.Array, v: jax.Array,
                   layer: jax.Array) -> jax.Array:
-    """shadow_maps f32[L, S, S]; uv [..., 2]; layer i32 broadcastable.
+    """shadow_maps f32[L, S, S]; u/v/layer planar [H, W].
     Bilinear with border depth 1.0 outside [0,1]^2 (opaque-white border:
     depth 1.0 compares as 'no blocker')."""
     size = shadow_maps.shape[-1]
     sf = jnp.float32(size)
-    x = uv[..., 0] * sf - 0.5
-    y = uv[..., 1] * sf - 0.5
+    x = u * sf - 0.5
+    y = v * sf - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
@@ -113,40 +130,36 @@ def sample_shadow(shadow_maps: jax.Array, uv: jax.Array,
         inside = (xi >= 0) & (xi < size) & (yi >= 0) & (yi < size)
         xc = jnp.clip(xi, 0, size - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, size - 1).astype(jnp.int32)
-        v = shadow_maps[layer, yc, xc]
-        return jnp.where(inside, v, 1.0)
+        return jnp.where(inside, shadow_maps[layer, yc, xc], 1.0)
 
     x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
     t00 = tap(x0i, y0i); t10 = tap(x0i + 1, y0i)
     t01 = tap(x0i, y0i + 1); t11 = tap(x0i + 1, y0i + 1)
-    top = t00 * (1 - fx) + t10 * fx
-    bot = t01 * (1 - fx) + t11 * fx
-    return top * (1 - fy) + bot * fy
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
 
 
 # ----------------------------------------------------------------------------
 # cubemap
 # ----------------------------------------------------------------------------
 
-def sample_cubemap(cubemap: jax.Array, direction: jax.Array) -> jax.Array:
+def sample_cubemap(cubemap: jax.Array, dx, dy, dz):
     """cubemap f32[6, F, F, 3] (Vulkan face order +X -X +Y -Y +Z -Z);
-    direction [..., 3] (need not be normalized).  Bilinear, per-face
-    clamp-to-edge.  Face selection per the Vulkan cube-map equations."""
-    d = direction
-    ax, ay, az = jnp.abs(d[..., 0]), jnp.abs(d[..., 1]), jnp.abs(d[..., 2])
-    x, y, z = d[..., 0], d[..., 1], d[..., 2]
-
-    # (face, ma, sc, tc) per Vulkan spec table 16.10
+    direction components planar [H, W].  Bilinear, per-face clamp-to-edge.
+    Face selection per the Vulkan cube-map equations.
+    Returns (r, g, b) planar."""
+    ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     use_x = (ax >= ay) & (ax >= az)
     use_y = (~use_x) & (ay >= az)
 
-    face = jnp.where(use_x, jnp.where(x >= 0, 0, 1),
-                     jnp.where(use_y, jnp.where(y >= 0, 2, 3),
-                               jnp.where(z >= 0, 4, 5)))
+    face = jnp.where(use_x, jnp.where(dx >= 0, 0, 1),
+                     jnp.where(use_y, jnp.where(dy >= 0, 2, 3),
+                               jnp.where(dz >= 0, 4, 5)))
     ma = jnp.where(use_x, ax, jnp.where(use_y, ay, az))
-    sc = jnp.where(use_x, jnp.where(x >= 0, -z, z),
-                   jnp.where(use_y, x, jnp.where(z >= 0, x, -x)))
-    tc = jnp.where(use_x, -y, jnp.where(use_y, jnp.where(y >= 0, z, -z), -y))
+    sc = jnp.where(use_x, jnp.where(dx >= 0, -dz, dz),
+                   jnp.where(use_y, dx, jnp.where(dz >= 0, dx, -dx)))
+    tc = jnp.where(use_x, -dy, jnp.where(use_y, jnp.where(dy >= 0, dz, -dz), -dy))
 
     ma = jnp.maximum(ma, 1e-12)
     u = 0.5 * (sc / ma + 1.0)
@@ -156,18 +169,29 @@ def sample_cubemap(cubemap: jax.Array, direction: jax.Array) -> jax.Array:
     sf = jnp.float32(size)
     xf = u * sf - 0.5
     yf = v * sf - 0.5
-    x0 = jnp.floor(xf); y0 = jnp.floor(yf)
-    fx = (xf - x0)[..., None]
-    fy = (yf - y0)[..., None]
+    x0 = jnp.floor(xf)
+    y0 = jnp.floor(yf)
+    fx = xf - x0
+    fy = yf - y0
+    x0i = jnp.clip(x0, 0, size - 1).astype(jnp.int32)
+    x1i = jnp.clip(x0 + 1, 0, size - 1).astype(jnp.int32)
+    y0i = jnp.clip(y0, 0, size - 1).astype(jnp.int32)
+    y1i = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
 
-    def tap(xi, yi):
-        xc = jnp.clip(xi, 0, size - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, size - 1).astype(jnp.int32)
-        return cubemap[face, yc, xc]
+    base = face * (size * size)
+    i00 = base + y0i * size + x0i
+    i10 = base + y0i * size + x1i
+    i01 = base + y1i * size + x0i
+    i11 = base + y1i * size + x1i
 
-    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
-    t00 = tap(x0i, y0i); t10 = tap(x0i + 1, y0i)
-    t01 = tap(x0i, y0i + 1); t11 = tap(x0i + 1, y0i + 1)
-    top = t00 * (1 - fx) + t10 * fx
-    bot = t01 * (1 - fx) + t11 * fx
-    return top * (1 - fy) + bot * fy
+    out = []
+    for c in range(3):
+        plane = cubemap[..., c].reshape(-1)
+        t00 = jnp.take(plane, i00)
+        t10 = jnp.take(plane, i10)
+        t01 = jnp.take(plane, i01)
+        t11 = jnp.take(plane, i11)
+        top = t00 + (t10 - t00) * fx
+        bot = t01 + (t11 - t01) * fx
+        out.append(top + (bot - top) * fy)
+    return tuple(out)

@@ -124,7 +124,9 @@ class TextureHeapBuilder:
                 sizes[t, m] = sizes[t, len(mips) - 1]
         texels = (np.concatenate(chunks, axis=0) if chunks
                   else np.zeros((1, 4), dtype=np.float32))
-        return TextureTable(texels=texels.astype(np.float32),
+        # planar channels-first: per-channel flat takes are the fast TPU
+        # gather form (see ops/common.take_rows rationale)
+        return TextureTable(texels=np.ascontiguousarray(texels.T.astype(np.float32)),
                             mip_offsets=offsets, mip_sizes=sizes, n_mips=n_mips)
 
 

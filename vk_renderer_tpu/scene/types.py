@@ -31,7 +31,8 @@ PASS_TRANSPARENT = 1
 class TextureTable:
     """Bindless-equivalent texture heap.
 
-    All texel data lives in one flat ``f32[N, 4]`` buffer in *shading-ready*
+    All texel data lives in one flat planar ``f32[4, N]`` buffer (channels
+    first — TPU gathers want per-channel flat takes) in *shading-ready*
     space: sRGB images (glTF color textures, vk_loader.cpp:283) are decoded
     to linear at load; UNORM images (default 1x1s, checkerboard,
     vk_engine_init.cpp:320-341) are stored raw.  Mip chains are generated at
@@ -41,7 +42,7 @@ class TextureTable:
     Per (texture, mip): ``mip_offset[t, m]`` is the row index of texel (0,0);
     level texels are row-major.  ``mip_sizes[t, m] = (width, height)``.
     """
-    texels: np.ndarray       # f32[N, 4]
+    texels: np.ndarray       # f32[4, N] planar (r, g, b, a)
     mip_offsets: np.ndarray  # i32[T, MAX_MIPS]
     mip_sizes: np.ndarray    # i32[T, MAX_MIPS, 2]  (w, h), clamped at 1
     n_mips: np.ndarray       # i32[T]
