@@ -62,32 +62,53 @@ def _frustum_planes(viewproj: jax.Array) -> jax.Array:
     return planes / jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
 
 
-def _make_alpha_fn(scene, tris_p, tri_mat_p):
-    """Alpha-cutoff coverage callback for the masked raster bucket:
-    perspective-correct UV + analytic-derivative trilinear albedo alpha,
-    keep iff alpha >= 0.5 (mesh_pbr.frag:192-193)."""
-    uvs = scene.uvs
+def _winner_alpha(scene, tid, padded, tris_p, tri_mat_p):
+    """Dense planar trilinear albedo-alpha of the per-pixel winning
+    triangle (the mesh_pbr.frag:192-193 discard operand)."""
+    weights = interp.interpolation_weights(tid, padded)
+    ids = weights["ids"]
+    vidx = interp.corner_indices(tris_p, ids)
+    u, dudx, dudy = interp.interp_channel_with_derivs(scene.uvs[:, 0], vidx,
+                                                      weights)
+    v, dvdx, dvdy = interp.interp_channel_with_derivs(scene.uvs[:, 1], vidx,
+                                                      weights)
+    mat_id = jnp.take(tri_mat_p, ids)
+    aid = jnp.take(scene.mat_tex_ids[:, 0], mat_id)
+    (alpha,) = tex.sample_trilinear(scene.textures, aid, u, v,
+                                    dudx, dvdx, dudy, dvdy, channels=(3,))
+    return alpha
 
-    def alpha_fn(ids, e0, e1, e2):
-        # per-corner planar takes ([NT, C] index arrays)
-        vi = [jnp.take(tris_p[:, k], ids) for k in range(3)]
-        u_c = [jnp.take(uvs[:, 0], v) for v in vi]        # [NT, C] each
-        v_c = [jnp.take(uvs[:, 1], v) for v in vi]
-        esum = e0 + e1 + e2
-        d = jnp.where(esum != 0.0, esum, 1.0)
-        w0, w1, w2 = e0 / d, e1 / d, e2 / d               # [NT, P, C]
-        u = w0 * u_c[0][:, None] + w1 * u_c[1][:, None] + w2 * u_c[2][:, None]
-        v = w0 * v_c[0][:, None] + w1 * v_c[1][:, None] + w2 * v_c[2][:, None]
-        mat = jnp.take(tri_mat_p, ids)                    # [NT, C]
-        aid = jnp.take(scene.mat_tex_ids[:, 0], mat)      # [NT, C]
-        aid_b = jnp.broadcast_to(aid[:, None, :], u.shape)
-        # cheap LOD-0 alpha in raster; the winner is re-sampled with full
-        # trilinear in shading (documented deviation on mip-ed cutouts)
-        (alpha,) = tex.sample_bilinear_lod0(scene.textures, aid_b, u, v,
-                                            channels=(3,))
-        return alpha >= 0.5
 
-    return alpha_fn
+def _masked_pass(scene, cfg, st, padded, tris_p, tri_mat_p, is_masked,
+                 depth, tid):
+    """Alpha-cutoff bucket resolved by depth peeling: rasterize the
+    nearest not-yet-rejected masked fragment, evaluate its trilinear albedo
+    alpha densely (planar), accept (alpha >= 0.5, mesh_pbr.frag:193) or
+    peel past it.  Exact forward-pipeline semantics up to
+    ``transparent_peels`` discarded layers per pixel."""
+    w, h = cfg.width, cfg.height
+    bins_m, cnt_m, ovf_m = binning.bin_triangles(
+        st["bbox"], st["valid"] & is_masked, w, h, tile_w=cfg.tile_w,
+        tile_h=cfg.tile_h, cap=cfg.cap_masked, chunk=cfg.bin_chunk)
+
+    def one_peel(carry, _):
+        depth, tid, floor = carry
+        d2, t2 = raster.rasterize_depth_auto(
+            padded, bins_m, cnt_m, w, h, tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h, chunk=cfg.masked_chunk, init_depth=depth,
+            init_id=jnp.full((h, w), -1, jnp.int32), floor_depth=floor)
+        found = t2 >= 0
+        alpha = _winner_alpha(scene, t2, padded, tris_p, tri_mat_p)
+        accept = found & (alpha >= 0.5)
+        depth = jnp.where(accept, d2, depth)
+        tid = jnp.where(accept, t2, tid)
+        floor = jnp.where(found & ~accept, d2, 2.0)   # keep peeling rejects
+        return (depth, tid, floor), None
+
+    floor = jnp.full((h, w), -1.0, jnp.float32)
+    (depth, tid, _), _ = jax.lax.scan(one_peel, (depth, tid, floor), None,
+                                      length=cfg.transparent_peels)
+    return depth, tid, ovf_m
 
 
 def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
@@ -199,14 +220,8 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
 
     overflow = ovf_o
     if scene.n_masked > 0:
-        bins_m, cnt_m, ovf_m = binning.bin_triangles(
-            st["bbox"], st["valid"] & is_masked, w, h, tile_w=cfg.tile_w,
-            tile_h=cfg.tile_h, cap=cfg.cap_masked, chunk=cfg.bin_chunk)
-        depth, tid = raster.rasterize_depth(
-            padded, bins_m, w, h, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            chunk=cfg.masked_chunk,
-            alpha_fn=_make_alpha_fn(scene, tris_p, tri_mat_p),
-            init_depth=depth, init_id=tid, counts=cnt_m)
+        depth, tid, ovf_m = _masked_pass(scene, cfg, st, padded, tris_p,
+                                         tri_mat_p, is_masked, depth, tid)
         overflow = overflow + ovf_m
 
     # ---- G-buffer interpolation (fixed-function varyings, SURVEY F3)
@@ -301,12 +316,12 @@ def _transparent_pass(scene, scene_data, settings, cfg, st, padded, tris_p,
 
     def one_peel(carry, _):
         color, floor = carry
-        d, tidt = raster.rasterize_depth(
-            padded, bins_t, w, h, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+        d, tidt = raster.rasterize_depth_auto(
+            padded, bins_t, cnt_t, w, h, tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h,
             chunk=min(cfg.raster_chunk, cfg.cap_transparent),
             init_depth=opaque_depth,
-            init_id=jnp.full((h, w), -1, jnp.int32), floor_depth=floor,
-            counts=cnt_t)
+            init_id=jnp.full((h, w), -1, jnp.int32), floor_depth=floor)
         gbuf = _build_gbuffer(scene, scene_data, tidt, padded, tris_p,
                               tri_mat_p, world_pos, world_nrm)
         rgb, alpha = shader(gbuf, scene, scene_data, shadow_maps,

@@ -33,19 +33,21 @@ def rasterize_depth_auto(setup_padded: dict, bins: jax.Array, counts: jax.Array,
                          width: int, height: int, tile_w: int = 128,
                          tile_h: int = 32, chunk: int = 16,
                          init_depth: jax.Array | None = None,
-                         init_id: jax.Array | None = None):
-    """Backend dispatch: the Pallas kernel on TPU (opaque/no-hook path),
-    the XLA reference implementation elsewhere."""
+                         init_id: jax.Array | None = None,
+                         floor_depth: jax.Array | None = None):
+    """Backend dispatch: the Pallas kernel on TPU, the XLA reference
+    implementation elsewhere."""
     from .common import on_tpu
     if on_tpu():
         from .raster_pallas import rasterize_depth_pallas
         return rasterize_depth_pallas(setup_padded, bins, counts, width,
                                       height, tile_w=tile_w, tile_h=tile_h,
                                       chunk=64, init_depth=init_depth,
-                                      init_id=init_id)
+                                      init_id=init_id, floor_depth=floor_depth)
     return rasterize_depth(setup_padded, bins, width, height, tile_w=tile_w,
                            tile_h=tile_h, chunk=chunk, init_depth=init_depth,
-                           init_id=init_id, counts=counts)
+                           init_id=init_id, counts=counts,
+                           floor_depth=floor_depth)
 
 
 def pad_setup(setup: dict) -> dict:

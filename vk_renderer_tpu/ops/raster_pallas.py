@@ -17,8 +17,9 @@ Coefficients are refolded from anchor-relative to tile-local coordinates
 scalar-side (k = c + a*(tile_x0 - ax) + b*(tile_y0 - ay)), keeping the
 f32 edge evaluation conditioned on the tile scale (see ops/setup.py).
 
-The alpha-cutoff and depth-peeling variants stay on the XLA path (they
-need texture gathers / extra per-pixel state and run on small buckets).
+``floor_depth`` supports depth peeling (z > floor coverage), which the
+frame graph uses for both the alpha-cutoff bucket (peel -> dense planar
+alpha evaluation -> accept or re-peel) and the additive transparent pass.
 """
 
 from __future__ import annotations
@@ -35,8 +36,9 @@ from .common import cdiv
 F_FIELDS = 16   # edge 9 | zlin 3 | anchor 2 | tri-id (f32) | pad
 
 
-def _kernel(counts_ref, fdata_hbm, initd_ref, initi_ref,
-            outd_ref, outi_ref, *, chunk, tile_w, tile_h, cols, n_chunks):
+def _kernel(counts_ref, fdata_hbm, initd_ref, initi_ref, floor_ref,
+            outd_ref, outi_ref, *, chunk, tile_w, tile_h, cols, n_chunks,
+            has_floor):
     t = pl.program_id(0)
     count = counts_ref[t]
     nk = (count + chunk - 1) // chunk
@@ -106,6 +108,8 @@ def _kernel(counts_ref, fdata_hbm, initd_ref, initi_ref,
                     cov &= ((e2 > 0.0) | ((e2 == 0.0) & tl2))
                     cov &= (e0 + e1 + e2) > 0.0   # interpolated 1/w > 0
                     cov &= z >= 0.0               # near depth clip
+                    if has_floor:                 # depth-peel floor
+                        cov &= z > floor_ref[:, :]
 
                     zcand = jnp.where(cov, z, 2.0)
                     take = zcand <= zb            # LEQUAL: later draw wins
@@ -132,8 +136,10 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
                            tile_w: int = 128, tile_h: int = 32,
                            chunk: int = 64,
                            init_depth: jax.Array | None = None,
-                           init_id: jax.Array | None = None):
-    """Drop-in for raster.rasterize_depth (opaque/no-hook path).
+                           init_id: jax.Array | None = None,
+                           floor_depth: jax.Array | None = None):
+    """Drop-in for raster.rasterize_depth.  ``floor_depth`` restricts
+    coverage to z > floor (the depth-peeling hook).
     Returns (depth f32[H, W], tri_id i32[H, W], -1 empty)."""
     edge = setup_padded["edge"]
     zlin = setup_padded["zlin"]
@@ -169,6 +175,9 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
         initd = _to_tiles(init_depth, rows, cols, tile_h, tile_w, 1.0)
         initi = _to_tiles(jnp.where(init_id < 0, sentinel, init_id),
                           rows, cols, tile_h, tile_w, sentinel)
+    has_floor = floor_depth is not None
+    floor_t = (_to_tiles(floor_depth, rows, cols, tile_h, tile_w, 2.0)
+               if has_floor else jnp.zeros((1, tile_h, tile_w), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -179,6 +188,10 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tile_h, tile_w),
+                         (lambda t, c: (t, 0, 0)) if has_floor
+                         else (lambda t, c: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
@@ -188,7 +201,8 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
         ],
     )
     kernel = functools.partial(_kernel, chunk=chunk, tile_w=tile_w,
-                               tile_h=tile_h, cols=cols, n_chunks=n_chunks)
+                               tile_h=tile_h, cols=cols, n_chunks=n_chunks,
+                               has_floor=has_floor)
     outd, outi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -198,7 +212,7 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(counts.reshape(-1), fdata, initd, initi)
+    )(counts.reshape(-1), fdata, initd, initi, floor_t)
 
     depth = _from_tiles(outd.reshape(rows, cols, tile_h, tile_w))
     tri_id = _from_tiles(outi.reshape(rows, cols, tile_h, tile_w))
