@@ -93,13 +93,21 @@ def cull_objects(obj_world: jax.Array, obj_bounds: jax.Array,
 def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
                    width: int, height: int, cull: int = CULL_BACK):
     """Clipless 2DH setup for all triangles.  ``tri_valid`` folds in the
-    frustum-cull mask (and bucket masks)."""
-    v = clip[tris]                                            # [T, 3, 4]
+    frustum-cull mask (and bucket masks).
 
-    x, y, z, w = v[..., 0], v[..., 1], v[..., 2], v[..., 3]    # each [T, 3]
+    All per-corner quantities are PLANAR [T] arrays internally (minor-dim-3
+    layouts are pathologically slow on TPU; see ops/texture.py)."""
+    # per-corner planar gathers of clip components (flat takes)
+    cx, cy, cz, cw = clip[:, 0], clip[:, 1], clip[:, 2], clip[:, 3]
+    vi = [tris[:, k] for k in range(3)]
+    x = [jnp.take(cx, i) for i in vi]
+    y = [jnp.take(cy, i) for i in vi]
+    z = [jnp.take(cz, i) for i in vi]
+    w = [jnp.take(cw, i) for i in vi]
+
     # fold the viewport transform into homogeneous screen coords
-    X = (x + w) * (0.5 * width)
-    Y = (y + w) * (0.5 * height)
+    X = [(x[k] + w[k]) * (0.5 * width) for k in range(3)]
+    Y = [(y[k] + w[k]) * (0.5 * height) for k in range(3)]
 
     # Precision: evaluate everything in per-triangle anchored coordinates
     # (homogeneous translation by a point near the triangle).  This keeps
@@ -107,20 +115,19 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     # the screen size — without it f32 depth error reaches ~1e-3, larger
     # than the 5e-4 shadow bias.  Anchor = projected bbox center (viewport
     # center for w-crossing triangles).
-    wsafe = jnp.where(jnp.abs(w) > 1e-12, w, 1e-12)
-    sx_all = X / wsafe
-    sy_all = Y / wsafe
-    all_w_pos = jnp.all(w > 1e-12, axis=1)
-    ax = jnp.where(all_w_pos,
-                   0.5 * (jnp.min(sx_all, axis=1) + jnp.max(sx_all, axis=1)),
-                   0.5 * width)
-    ay = jnp.where(all_w_pos,
-                   0.5 * (jnp.min(sy_all, axis=1) + jnp.max(sy_all, axis=1)),
-                   0.5 * height)
-    ax = jnp.clip(ax, 0.0, width)
-    ay = jnp.clip(ay, 0.0, height)
-    X = X - ax[:, None] * w
-    Y = Y - ay[:, None] * w
+    sx = [X[k] / jnp.where(jnp.abs(w[k]) > 1e-12, w[k], 1e-12) for k in range(3)]
+    sy = [Y[k] / jnp.where(jnp.abs(w[k]) > 1e-12, w[k], 1e-12) for k in range(3)]
+    all_w_pos = (w[0] > 1e-12) & (w[1] > 1e-12) & (w[2] > 1e-12)
+    sx_min = jnp.minimum(jnp.minimum(sx[0], sx[1]), sx[2])
+    sx_max = jnp.maximum(jnp.maximum(sx[0], sx[1]), sx[2])
+    sy_min = jnp.minimum(jnp.minimum(sy[0], sy[1]), sy[2])
+    sy_max = jnp.maximum(jnp.maximum(sy[0], sy[1]), sy[2])
+    ax = jnp.clip(jnp.where(all_w_pos, 0.5 * (sx_min + sx_max), 0.5 * width),
+                  0.0, width)
+    ay = jnp.clip(jnp.where(all_w_pos, 0.5 * (sy_min + sy_max), 0.5 * height),
+                  0.0, height)
+    X = [X[k] - ax * w[k] for k in range(3)]
+    Y = [Y[k] - ay * w[k] for k in range(3)]
 
     # Per-vertex magnitude normalization conditions the f32 cofactors.
     # CAREFUL: plain per-vertex scaling is invariant for coverage and depth
@@ -128,21 +135,26 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     # true clip w), so cofactor row i is rescaled by its own vertex's
     # factor afterwards — restoring a common per-triangle factor
     # S = s0*s1*s2 that cancels in every ratio.
-    s = 1.0 / jnp.maximum(
-        jnp.maximum(jnp.abs(X), jnp.maximum(jnp.abs(Y), jnp.abs(w))), 1e-12)
-    Xn, Yn, wn = X * s, Y * s, w * s
+    s = [1.0 / jnp.maximum(jnp.maximum(jnp.abs(X[k]),
+                                       jnp.maximum(jnp.abs(Y[k]),
+                                                   jnp.abs(w[k]))), 1e-12)
+         for k in range(3)]
+    Xn = [X[k] * s[k] for k in range(3)]
+    Yn = [Y[k] * s[k] for k in range(3)]
+    wn = [w[k] * s[k] for k in range(3)]
 
-    # cofactor rows of M = [[X0,Y0,w0],[X1,Y1,w1],[X2,Y2,w2]]
-    def cof(j, k):
-        return jnp.stack([Yn[:, j] * wn[:, k] - Yn[:, k] * wn[:, j],
-                          wn[:, j] * Xn[:, k] - wn[:, k] * Xn[:, j],
-                          Xn[:, j] * Yn[:, k] - Xn[:, k] * Yn[:, j]], axis=-1)
+    # cofactor rows of M = [[X0,Y0,w0],[X1,Y1,w1],[X2,Y2,w2]]; each edge is
+    # (a, b, c) planar
+    def cof(j, k, si):
+        return (( Yn[j] * wn[k] - Yn[k] * wn[j]) * si,
+                ( wn[j] * Xn[k] - wn[k] * Xn[j]) * si,
+                ( Xn[j] * Yn[k] - Xn[k] * Yn[j]) * si)
 
-    e0 = cof(1, 2) * s[:, 0:1]
-    e1 = cof(2, 0) * s[:, 1:2]
-    e2 = cof(0, 1) * s[:, 2:3]
+    e0 = cof(1, 2, s[0])
+    e1 = cof(2, 0, s[1])
+    e2 = cof(0, 1, s[2])
     # sum_i w_i e_i == (0, 0, det) identically; read det from the c-term
-    det = (w[:, 0] * e0[:, 2] + w[:, 1] * e1[:, 2] + w[:, 2] * e2[:, 2])
+    det = w[0] * e0[2] + w[1] * e1[2] + w[2] * e2[2]
 
     front = det < 0.0   # Vulkan CCW front face (see module docstring)
     if cull == CULL_BACK:
@@ -152,32 +164,30 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     else:
         keep_facing = jnp.ones_like(front)
 
-    # orient edges inside-positive: e_i(vertex_i) == det, so flip by sign(det)
-    sgn = jnp.where(det < 0, -1.0, 1.0)[:, None]
-    edge = jnp.stack([e0 * sgn[:, :1], e1 * sgn[:, :1], e2 * sgn[:, :1]], axis=1)
+    valid = (tri_valid & keep_facing & (det != 0.0)
+             & ~((w[0] <= 0.0) & (w[1] <= 0.0) & (w[2] <= 0.0)))
+
+    # conservative pixel bbox; triangles crossing w<=0 get the full viewport
+    x0 = jnp.clip(jnp.where(all_w_pos, sx_min, 0.0), 0.0, width)
+    x1 = jnp.clip(jnp.where(all_w_pos, sx_max, float(width)), 0.0, width)
+    y0 = jnp.clip(jnp.where(all_w_pos, sy_min, 0.0), 0.0, height)
+    y1 = jnp.clip(jnp.where(all_w_pos, sy_max, float(height)), 0.0, height)
+    # degenerate bbox -> invalid (fully off-screen)
+    valid = valid & (x1 > x0) & (y1 > y0)
+
+    # orient edges inside-positive (e_i(vertex_i) == det -> flip by
+    # sign(det)); invalid triangles get all-zero edges (e==0 everywhere
+    # fails the top-left rule, so the rasterizer needs no extra mask)
+    sgn = jnp.where(valid, jnp.where(det < 0, -1.0, 1.0), 0.0)
+    planes = [c * sgn for e in (e0, e1, e2) for c in e]        # 9 planar
 
     # screen-linear depth: z(p) = (sum_i z_i e~_i(p)) / |det|
     inv_absdet = 1.0 / jnp.where(det != 0.0, jnp.abs(det), 1.0)
-    zlin = einsum("tk,tkc->tc", z, edge) * inv_absdet[:, None]
+    zlin = [(z[0] * planes[c] + z[1] * planes[3 + c] + z[2] * planes[6 + c])
+            * inv_absdet for c in range(3)]
 
-    valid = (tri_valid & keep_facing & (det != 0.0)
-             & ~jnp.all(w <= 0.0, axis=1))
-
-    # conservative pixel bbox; triangles crossing w<=0 get the full viewport
-    x0 = jnp.where(all_w_pos, jnp.min(sx_all, axis=1), 0.0)
-    x1 = jnp.where(all_w_pos, jnp.max(sx_all, axis=1), float(width))
-    y0 = jnp.where(all_w_pos, jnp.min(sy_all, axis=1), 0.0)
-    y1 = jnp.where(all_w_pos, jnp.max(sy_all, axis=1), float(height))
-    bbox = jnp.stack([jnp.clip(x0, 0.0, width), jnp.clip(y0, 0.0, height),
-                      jnp.clip(x1, 0.0, width), jnp.clip(y1, 0.0, height)], axis=-1)
-    # degenerate bbox -> invalid (fully off-screen)
-    on_screen = (bbox[:, 2] > bbox[:, 0]) & (bbox[:, 3] > bbox[:, 1])
-    valid = valid & on_screen
-
-    # invalid triangles get all-zero edges: e==0 everywhere fails the
-    # top-left rule (a==0, b==0), so the rasterizer needs no extra mask
-    edge = jnp.where(valid[:, None, None], edge, 0.0)
-
+    edge = jnp.stack(planes, axis=-1).reshape(-1, 3, 3)
+    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
     anchor = jnp.stack([ax, ay], axis=-1)
-    return {"edge": edge, "zlin": zlin, "bbox": bbox, "valid": valid,
-            "anchor": anchor}
+    return {"edge": edge, "zlin": jnp.stack(zlin, axis=-1), "bbox": bbox,
+            "valid": valid, "anchor": anchor}
