@@ -194,7 +194,7 @@ class TestBinning:
             cap=16, chunk=4)
         bins = np.asarray(bins)
         counts = np.asarray(counts)
-        bbox = np.asarray(st["bbox"])
+        bbox = np.stack([np.asarray(b) for b in st["bbox"]], axis=-1)
         valid = np.asarray(st["valid"])
         for r in range(bins.shape[0]):
             for c in range(bins.shape[1]):

@@ -68,9 +68,9 @@ def _winner_alpha(scene, tid, padded, tris_p, tri_mat_p):
     weights = interp.interpolation_weights(tid, padded)
     ids = weights["ids"]
     vidx = interp.corner_indices(tris_p, ids)
-    u, dudx, dudy = interp.interp_channel_with_derivs(scene.uvs[:, 0], vidx,
+    u, dudx, dudy = interp.interp_channel_with_derivs(scene.uvs[0], vidx,
                                                       weights)
-    v, dvdx, dvdy = interp.interp_channel_with_derivs(scene.uvs[:, 1], vidx,
+    v, dvdx, dvdy = interp.interp_channel_with_derivs(scene.uvs[1], vidx,
                                                       weights)
     mat_id = jnp.take(tri_mat_p, ids)
     aid = jnp.take(scene.mat_tex_ids[:, 0], mat_id)
@@ -124,10 +124,11 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
     s = cfg.shadow_size
     out_h = s if out_h is None else out_h
     n_active = 1 if cfg.shadow_mode < 3 else NUM_CASCADES
-    hom = jnp.concatenate([world_pos, jnp.ones_like(world_pos[:, :1])], axis=1)
+    wx, wy, wz = world_pos
 
     def one_cascade(_, lvp):
-        clip = common_einsum("vj,ij->vi", hom, lvp)
+        clip = tuple(lvp[r, 0] * wx + lvp[r, 1] * wy + lvp[r, 2] * wz
+                     + lvp[r, 3] for r in range(4))
         st = rsetup.triangle_setup(clip, scene.tris, tri_visible, s, out_h,
                                    cull=rsetup.CULL_FRONT)
         bins, cnt, _ = binning.bin_triangles(
@@ -160,7 +161,7 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
     if cfg.enable_shadows:
         planes = _frustum_planes(scene_data["viewproj"])
         visible = rsetup.cull_objects(scene.obj_world, scene.obj_bounds, planes)
-        tri_visible = visible[scene.vert_obj[scene.tris[:, 0]]]
+        tri_visible = jnp.take(visible, jnp.take(scene.vert_obj, scene.tris[0]))
         world_pos, _ = rsetup.transform_vertices(
             scene.positions, scene.vert_obj, scene.obj_world,
             scene_data["viewproj"])
@@ -180,13 +181,13 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     row-remapped ``scene_data['viewproj']``."""
     w, h = cfg.width, cfg.height
     full_height = h if full_height is None else full_height
-    n_tris = scene.tris.shape[0]
+    n_tris = scene.tris[0].shape[0]
 
     # ---- update_scene: device-side frustum culling (vk_engine_run.cpp:435-480)
     planes = _frustum_planes(scene_data["viewproj"])
     visible = rsetup.cull_objects(scene.obj_world, scene.obj_bounds, planes)
-    tri_obj = scene.vert_obj[scene.tris[:, 0]]
-    tri_visible = visible[tri_obj]
+    tri_obj = jnp.take(scene.vert_obj, scene.tris[0])
+    tri_visible = jnp.take(visible, tri_obj)
 
     # ---- vertex stage (mesh.vert)
     world_pos, clip = rsetup.transform_vertices(
@@ -202,8 +203,9 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     st = rsetup.triangle_setup(clip, scene.tris, tri_visible, w, h,
                                cull=rsetup.CULL_BACK)
     padded = raster.pad_setup(st)
-    tris_p = jnp.concatenate([scene.tris, jnp.zeros((1, 3), jnp.int32)])
-    tri_mat_p = jnp.concatenate([scene.tri_material, jnp.zeros(1, jnp.int32)])
+    zero_i = jnp.zeros((1,), jnp.int32)
+    tris_p = tuple(jnp.concatenate([t, zero_i]) for t in scene.tris)
+    tri_mat_p = jnp.concatenate([scene.tri_material, zero_i])
 
     tri_idx = jnp.arange(n_tris, dtype=jnp.int32)
     is_opaque = tri_idx < scene.n_opaque
@@ -278,19 +280,19 @@ def _build_gbuffer(scene, scene_data, tid, padded, tris_p, tri_mat_p,
     lam = weights["lam"]
 
     g = {}
-    g["nx"] = interp.interp_channel(world_nrm[:, 0], vidx, lam)
-    g["ny"] = interp.interp_channel(world_nrm[:, 1], vidx, lam)
-    g["nz"] = interp.interp_channel(world_nrm[:, 2], vidx, lam)
-    g["cr"] = interp.interp_channel(scene.colors[:, 0], vidx, lam)
-    g["cg"] = interp.interp_channel(scene.colors[:, 1], vidx, lam)
-    g["cb"] = interp.interp_channel(scene.colors[:, 2], vidx, lam)
-    g["wx"] = interp.interp_channel(world_pos[:, 0], vidx, lam)
-    g["wy"] = interp.interp_channel(world_pos[:, 1], vidx, lam)
-    g["wz"] = interp.interp_channel(world_pos[:, 2], vidx, lam)
+    g["nx"] = interp.interp_channel(world_nrm[0], vidx, lam)
+    g["ny"] = interp.interp_channel(world_nrm[1], vidx, lam)
+    g["nz"] = interp.interp_channel(world_nrm[2], vidx, lam)
+    g["cr"] = interp.interp_channel(scene.colors[0], vidx, lam)
+    g["cg"] = interp.interp_channel(scene.colors[1], vidx, lam)
+    g["cb"] = interp.interp_channel(scene.colors[2], vidx, lam)
+    g["wx"] = interp.interp_channel(world_pos[0], vidx, lam)
+    g["wy"] = interp.interp_channel(world_pos[1], vidx, lam)
+    g["wz"] = interp.interp_channel(world_pos[2], vidx, lam)
     g["u"], g["dudx"], g["dudy"] = interp.interp_channel_with_derivs(
-        scene.uvs[:, 0], vidx, weights)
+        scene.uvs[0], vidx, weights)
     g["v"], g["dvdx"], g["dvdy"] = interp.interp_channel_with_derivs(
-        scene.uvs[:, 1], vidx, weights)
+        scene.uvs[1], vidx, weights)
     view = scene_data["view"]
     g["view_z"] = (g["wx"] * view[2, 0] + g["wy"] * view[2, 1]
                    + g["wz"] * view[2, 2] + view[2, 3])

@@ -32,22 +32,27 @@ from .common import cdiv
 
 @partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
                                    "cap", "max_span", "big_cap"))
-def bin_triangles(bbox: jax.Array, valid: jax.Array, width: int, height: int,
+def bin_triangles(bbox, valid: jax.Array, width: int, height: int,
                   tile_w: int = 128, tile_h: int = 32, cap: int = 2048,
-                  max_span: int = 16, big_cap: int = 64, chunk: int = 0):
-    """Returns (bins i32[rows, cols, cap + big_cap], counts i32[rows, cols],
-    overflow i32).  ``chunk`` is accepted for API compatibility (unused)."""
+                  max_span: int = 32, big_cap: int = 256, chunk: int = 0):
+    """bbox: (x0, y0, x1, y1) planar over T (a 2-D [T, 4] array is also
+    accepted).  Returns (bins i32[rows, cols, cap + big_cap],
+    counts i32[rows, cols], overflow i32).  ``chunk`` is accepted for API
+    compatibility (unused)."""
     del chunk
-    n_tris = bbox.shape[0]
+    if not isinstance(bbox, (tuple, list)):
+        bbox = [bbox[:, c] for c in range(4)]
+    bx0, by0, bx1, by1 = bbox
+    n_tris = bx0.shape[0]
     rows = cdiv(height, tile_h)
     cols = cdiv(width, tile_w)
     n_tiles = rows * cols
     sentinel = n_tris
 
-    tx0 = jnp.clip(jnp.floor(bbox[:, 0] / tile_w), 0, cols - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor(bbox[:, 1] / tile_h), 0, rows - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.ceil(bbox[:, 2] / tile_w) - 1, 0, cols - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.ceil(bbox[:, 3] / tile_h) - 1, 0, rows - 1).astype(jnp.int32)
+    tx0 = jnp.clip(jnp.floor(bx0 / tile_w), 0, cols - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor(by0 / tile_h), 0, rows - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.ceil(bx1 / tile_w) - 1, 0, cols - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.ceil(by1 / tile_h) - 1, 0, rows - 1).astype(jnp.int32)
     nx = tx1 - tx0 + 1
     ny = ty1 - ty0 + 1
     span = nx * ny

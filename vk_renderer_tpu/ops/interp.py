@@ -35,22 +35,22 @@ def interpolation_weights(tri_id: jax.Array, setup_padded: dict):
     - ``esum``, ``inv_esum``: planar
     """
     h, w = tri_id.shape
-    edge_flat = setup_padded["edge"].reshape(-1, 9)   # [T+1, 9]
-    anchor = setup_padded["anchor"]                   # [T+1, 2]
-    sentinel = edge_flat.shape[0] - 1
+    edge = setup_padded["edge"]                       # 9 planes over T+1
+    anchor = setup_padded["anchor"]                   # 2 planes
+    sentinel = edge[0].shape[0] - 1
     ids = jnp.where(tri_id < 0, sentinel, tri_id)
 
     px, py = pixel_centers(h, w)
-    ax = jnp.take(anchor[:, 0], ids)
-    ay = jnp.take(anchor[:, 1], ids)
+    ax = jnp.take(anchor[0], ids)
+    ay = jnp.take(anchor[1], ids)
     pxa = px - ax
     pya = py - ay
 
     a, b, e = [], [], []
     for i in range(3):
-        ai = jnp.take(edge_flat[:, 3 * i + 0], ids)
-        bi = jnp.take(edge_flat[:, 3 * i + 1], ids)
-        ci = jnp.take(edge_flat[:, 3 * i + 2], ids)
+        ai = jnp.take(edge[3 * i + 0], ids)
+        bi = jnp.take(edge[3 * i + 1], ids)
+        ci = jnp.take(edge[3 * i + 2], ids)
         a.append(ai)
         b.append(bi)
         e.append(ai * pxa + bi * pya + ci)
@@ -62,9 +62,12 @@ def interpolation_weights(tri_id: jax.Array, setup_padded: dict):
             "inv_esum": inv, "ids": ids}
 
 
-def corner_indices(tris_padded: jax.Array, ids: jax.Array):
-    """Per-pixel vertex indices, one planar [H, W] array per corner."""
-    return tuple(jnp.take(tris_padded[:, k], ids) for k in range(3))
+def corner_indices(tris_padded, ids: jax.Array):
+    """Per-pixel vertex indices, one planar [H, W] array per corner.
+    tris_padded: (i0, i1, i2) planar over T+1 (2-D [T+1, 3] also accepted)."""
+    if not isinstance(tris_padded, (tuple, list)):
+        tris_padded = tuple(tris_padded[:, k] for k in range(3))
+    return tuple(jnp.take(tris_padded[k], ids) for k in range(3))
 
 
 def interp_channel(vals: jax.Array, vidx, lam) -> jax.Array:

@@ -51,12 +51,17 @@ def rasterize_depth_auto(setup_padded: dict, bins: jax.Array, counts: jax.Array,
 
 
 def pad_setup(setup: dict) -> dict:
-    """Append the all-zero sentinel row so bin-slot gathers at id==T are
-    harmless (zero edges fail coverage everywhere)."""
+    """Append the all-zero sentinel entry so bin-slot gathers at id==T are
+    harmless (zero edges fail coverage everywhere).  Planar in/out."""
+    zero = jnp.zeros((1,), jnp.float32)
+
+    def pad(p):
+        return jnp.concatenate([p, zero])
+
     return {
-        "edge": jnp.concatenate([setup["edge"], jnp.zeros((1, 3, 3), jnp.float32)]),
-        "zlin": jnp.concatenate([setup["zlin"], jnp.zeros((1, 3), jnp.float32)]),
-        "anchor": jnp.concatenate([setup["anchor"], jnp.zeros((1, 2), jnp.float32)]),
+        "edge": [pad(p) for p in setup["edge"]],
+        "zlin": [pad(p) for p in setup["zlin"]],
+        "anchor": [pad(p) for p in setup["anchor"]],
     }
 
 
@@ -87,9 +92,11 @@ def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int
     essential when bins are sparse (small scenes, empty shadow cascades).
     Returns (depth f32[H, W], tri_id i32[H, W], -1 = empty).
     """
-    edge = setup_padded["edge"]
-    zlin = setup_padded["zlin"]
-    anchor = setup_padded["anchor"]
+    # XLA reference path: reassemble stacked per-triangle arrays from the
+    # planar setup (fine off-TPU; the TPU path is the Pallas kernel)
+    edge = jnp.stack(setup_padded["edge"], axis=-1).reshape(-1, 3, 3)
+    zlin = jnp.stack(setup_padded["zlin"], axis=-1)
+    anchor = jnp.stack(setup_padded["anchor"], axis=-1)
     sentinel = edge.shape[0] - 1
 
     rows, cols, cap = bins.shape

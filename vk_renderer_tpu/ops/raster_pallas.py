@@ -141,10 +141,9 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
     """Drop-in for raster.rasterize_depth.  ``floor_depth`` restricts
     coverage to z > floor (the depth-peeling hook).
     Returns (depth f32[H, W], tri_id i32[H, W], -1 empty)."""
-    edge = setup_padded["edge"]
-    zlin = setup_padded["zlin"]
-    anchor = setup_padded["anchor"]
-    sentinel = edge.shape[0] - 1
+    planes = (list(setup_padded["edge"]) + list(setup_padded["zlin"])
+              + list(setup_padded["anchor"]))
+    sentinel = planes[0].shape[0] - 1
 
     assert (chunk * F_FIELDS) % 1024 == 0, \
         "chunk records must be whole (8,128) tiles (chunk multiple of 64)"
@@ -153,11 +152,10 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
     cap_pad = n_chunks * chunk
     n_tiles = rows * cols
 
-    # per-triangle record [T+1, 16], gathered per bin slot; the slot's
-    # triangle id rides along as f32 (exact for id < 2^24)
-    f = jnp.concatenate([
-        edge.reshape(-1, 9), zlin, anchor,
-        jnp.zeros((edge.shape[0], F_FIELDS - 14), jnp.float32)], axis=1)
+    # per-triangle record [T+1, 16] built from the planar setup; the
+    # slot's triangle id rides along as f32 (exact for id < 2^24)
+    pad_planes = [jnp.zeros_like(planes[0])] * (F_FIELDS - 14)
+    f = jnp.stack(planes + pad_planes, axis=-1)
 
     bins_f = bins.reshape(n_tiles, cap)
     if cap_pad != cap:

@@ -7,17 +7,21 @@ No data-dependent clipping — triangles crossing w=0 are handled by the
 sign tests plus a per-pixel interpolated-w>0 mask, which keeps every shape
 static under jit.
 
-Per-triangle outputs (all dense SoA over T):
-- ``edge`` f32[T, 3, 3]: cofactor rows of the homogeneous screen matrix,
-  sign-normalized so inside is all-positive; ``e_i(p) = edge[t,i] . (px,py,1)``.
+EVERYTHING here is planar: positions/normals/clip arrive and leave as
+tuples of 1-D component arrays, per-triangle outputs are dicts of 1-D
+planes ([N, 3]-style minor dims are pathologically slow on TPU, see
+ops/texture.py).
+
+Per-triangle outputs (planar over T):
+- ``edge``: 9 planes (a,b,c per edge), inside-positive; the 2DH identity
   ``sum_i e_i(p) > 0`` doubles as the interpolated ``1/w > 0`` test that
   rejects the mirror region of w-crossing triangles.
-- ``zlin`` f32[T, 3]:    screen-linear depth coefficients;
-  ``z_ndc(p) = zlin[t] . (px,py,1)`` exactly (identity:
-  ``sum_i w_i e_i(p) == det``, so the division by det is folded in at setup
-  and depth needs no per-pixel divide — the hardware's screen-linear z).
-- ``bbox`` f32[T, 4]:    (x0, y0, x1, y1) pixel-space conservative bounds.
-- ``valid`` bool[T].
+- ``zlin``: 3 planes — screen-linear depth ``z_ndc(p) = zlin . (px,py,1)``
+  (identity: ``sum_i w_i e_i(p) == det`` folds the det division into setup).
+- ``bbox``: 4 planes (x0, y0, x1, y1) conservative pixel bounds.
+- ``anchor``: 2 planes; edges are evaluated at (p - anchor) for f32
+  conditioning (see the precision note inline).
+- ``valid``: bool plane.
 
 Vulkan front-face convention: the spec's signed area carries a leading
 negation (y-down compensation), so FRONT_FACE_COUNTER_CLOCKWISE ==
@@ -38,68 +42,67 @@ CULL_BACK = 1   # keep front faces (geometry pass, vk_engine_init.cpp:536)
 CULL_FRONT = 2  # keep back faces (shadow/skybox, vk_engine_init.cpp:441,626)
 
 
-def _gather_world_rows(obj_world: jax.Array, vert_obj: jax.Array):
-    """Per-vertex world matrix rows via flat takes (small-table row gathers
-    are slow on TPU, see ops/common.take_rows)."""
+def _world_rows(obj_world: jax.Array, vert_obj: jax.Array):
+    """Per-vertex world-matrix row coefficients via flat takes."""
     flat = obj_world.reshape(-1, 16)
-    return take_rows(flat, vert_obj)                          # [V, 16]
+    return [jnp.take(flat[:, c], vert_obj) for c in range(12)]
 
 
-def transform_vertices(positions: jax.Array, vert_obj: jax.Array,
-                       obj_world: jax.Array, viewproj: jax.Array):
+def transform_vertices(positions, vert_obj: jax.Array, obj_world: jax.Array,
+                       viewproj: jax.Array):
     """World + clip transform for all vertices (mesh.vert:16,22).
 
-    Returns (world_pos f32[V,3], clip f32[V,4]).
+    positions: (x, y, z) planar.  Returns (world (wx,wy,wz),
+    clip (cx,cy,cz,cw)), all planar [V].
     """
-    m = _gather_world_rows(obj_world, vert_obj)               # [V, 16]
-    x, y, z = positions[:, 0], positions[:, 1], positions[:, 2]
-    world = jnp.stack([
-        m[:, 0] * x + m[:, 1] * y + m[:, 2] * z + m[:, 3],
-        m[:, 4] * x + m[:, 5] * y + m[:, 6] * z + m[:, 7],
-        m[:, 8] * x + m[:, 9] * y + m[:, 10] * z + m[:, 11],
-    ], axis=-1)
-    clip = einsum("ij,vj->vi", viewproj[:, :3], world) + viewproj[:, 3]
-    # viewproj[:, :3] @ world + viewproj[:, 3] is (viewproj @ [world, 1])
-    return world, clip
+    m = _world_rows(obj_world, vert_obj)
+    x, y, z = positions
+    wx = m[0] * x + m[1] * y + m[2] * z + m[3]
+    wy = m[4] * x + m[5] * y + m[6] * z + m[7]
+    wz = m[8] * x + m[9] * y + m[10] * z + m[11]
+    vp = viewproj
+    clip = tuple(vp[r, 0] * wx + vp[r, 1] * wy + vp[r, 2] * wz + vp[r, 3]
+                 for r in range(4))
+    return (wx, wy, wz), clip
 
 
-def transform_normals(normals: jax.Array, vert_obj: jax.Array,
-                      obj_world: jax.Array) -> jax.Array:
+def transform_normals(normals, vert_obj: jax.Array,
+                      obj_world: jax.Array):
     """World-space normals: mat3(world) @ n (mesh.vert:18, not normalized
-    until the fragment stage)."""
-    m = _gather_world_rows(obj_world, vert_obj)
-    x, y, z = normals[:, 0], normals[:, 1], normals[:, 2]
-    return jnp.stack([
-        m[:, 0] * x + m[:, 1] * y + m[:, 2] * z,
-        m[:, 4] * x + m[:, 5] * y + m[:, 6] * z,
-        m[:, 8] * x + m[:, 9] * y + m[:, 10] * z,
-    ], axis=-1)
+    until the fragment stage).  Planar in/out."""
+    m = _world_rows(obj_world, vert_obj)
+    x, y, z = normals
+    return (m[0] * x + m[1] * y + m[2] * z,
+            m[4] * x + m[5] * y + m[6] * z,
+            m[8] * x + m[9] * y + m[10] * z)
 
 
 def cull_objects(obj_world: jax.Array, obj_bounds: jax.Array,
                  planes: jax.Array) -> jax.Array:
     """Sphere-vs-frustum visibility per render object
     (vk_engine_run.cpp:461-480): world center, radius scaled by the largest
-    basis-column length, visible unless fully outside any plane."""
+    basis-column length, visible unless fully outside any plane.
+    O is small — regular array math is fine here."""
     centers = einsum("oij,oj->oi", obj_world[:, :3, :3], obj_bounds[:, :3]) \
         + obj_world[:, :3, 3]
-    col_scale = jnp.linalg.norm(obj_world[:, :3, :3], axis=1)   # per-column lengths
+    col_scale = jnp.linalg.norm(obj_world[:, :3, :3], axis=1)
     radius = obj_bounds[:, 3] * jnp.max(col_scale, axis=-1)
     dist = einsum("pk,ok->op", planes[:, :3], centers) + planes[None, :, 3]
     return jnp.all(dist >= -radius[:, None], axis=1)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "cull"))
-def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
+def triangle_setup(clip, tris, tri_valid: jax.Array,
                    width: int, height: int, cull: int = CULL_BACK):
-    """Clipless 2DH setup for all triangles.  ``tri_valid`` folds in the
-    frustum-cull mask (and bucket masks).
-
-    All per-corner quantities are PLANAR [T] arrays internally (minor-dim-3
-    layouts are pathologically slow on TPU; see ops/texture.py)."""
-    # per-corner planar gathers of clip components (flat takes)
-    cx, cy, cz, cw = clip[:, 0], clip[:, 1], clip[:, 2], clip[:, 3]
-    vi = [tris[:, k] for k in range(3)]
+    """Clipless 2DH setup.  clip: (cx,cy,cz,cw) planar over V;
+    tris: (i0,i1,i2) planar over T.  ``tri_valid`` folds in the
+    frustum-cull mask (and bucket masks)."""
+    if not isinstance(clip, (tuple, list)):
+        clip = tuple(clip[:, c] for c in range(4))
+    if not isinstance(tris, (tuple, list)):
+        tris = tuple(tris[:, c] for c in range(3))
+    cx, cy, cz, cw = clip
+    vi = tris
     x = [jnp.take(cx, i) for i in vi]
     y = [jnp.take(cy, i) for i in vi]
     z = [jnp.take(cz, i) for i in vi]
@@ -143,12 +146,11 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     Yn = [Y[k] * s[k] for k in range(3)]
     wn = [w[k] * s[k] for k in range(3)]
 
-    # cofactor rows of M = [[X0,Y0,w0],[X1,Y1,w1],[X2,Y2,w2]]; each edge is
-    # (a, b, c) planar
+    # cofactor rows of M = [[X0,Y0,w0],[X1,Y1,w1],[X2,Y2,w2]]
     def cof(j, k, si):
-        return (( Yn[j] * wn[k] - Yn[k] * wn[j]) * si,
-                ( wn[j] * Xn[k] - wn[k] * Xn[j]) * si,
-                ( Xn[j] * Yn[k] - Xn[k] * Yn[j]) * si)
+        return ((Yn[j] * wn[k] - Yn[k] * wn[j]) * si,
+                (wn[j] * Xn[k] - wn[k] * Xn[j]) * si,
+                (Xn[j] * Yn[k] - Xn[k] * Yn[j]) * si)
 
     e0 = cof(1, 2, s[0])
     e1 = cof(2, 0, s[1])
@@ -172,22 +174,18 @@ def triangle_setup(clip: jax.Array, tris: jax.Array, tri_valid: jax.Array,
     x1 = jnp.clip(jnp.where(all_w_pos, sx_max, float(width)), 0.0, width)
     y0 = jnp.clip(jnp.where(all_w_pos, sy_min, 0.0), 0.0, height)
     y1 = jnp.clip(jnp.where(all_w_pos, sy_max, float(height)), 0.0, height)
-    # degenerate bbox -> invalid (fully off-screen)
-    valid = valid & (x1 > x0) & (y1 > y0)
+    valid = valid & (x1 > x0) & (y1 > y0)    # degenerate -> off-screen
 
     # orient edges inside-positive (e_i(vertex_i) == det -> flip by
     # sign(det)); invalid triangles get all-zero edges (e==0 everywhere
     # fails the top-left rule, so the rasterizer needs no extra mask)
     sgn = jnp.where(valid, jnp.where(det < 0, -1.0, 1.0), 0.0)
-    planes = [c * sgn for e in (e0, e1, e2) for c in e]        # 9 planar
+    edge = [c * sgn for e in (e0, e1, e2) for c in e]   # 9 planes
 
     # screen-linear depth: z(p) = (sum_i z_i e~_i(p)) / |det|
     inv_absdet = 1.0 / jnp.where(det != 0.0, jnp.abs(det), 1.0)
-    zlin = [(z[0] * planes[c] + z[1] * planes[3 + c] + z[2] * planes[6 + c])
+    zlin = [(z[0] * edge[c] + z[1] * edge[3 + c] + z[2] * edge[6 + c])
             * inv_absdet for c in range(3)]
 
-    edge = jnp.stack(planes, axis=-1).reshape(-1, 3, 3)
-    bbox = jnp.stack([x0, y0, x1, y1], axis=-1)
-    anchor = jnp.stack([ax, ay], axis=-1)
-    return {"edge": edge, "zlin": jnp.stack(zlin, axis=-1), "bbox": bbox,
-            "valid": valid, "anchor": anchor}
+    return {"edge": edge, "zlin": zlin, "bbox": [x0, y0, x1, y1],
+            "valid": valid, "anchor": [ax, ay]}

@@ -144,11 +144,11 @@ def sample_shadow(shadow_maps: jax.Array, u: jax.Array, v: jax.Array,
 # cubemap
 # ----------------------------------------------------------------------------
 
-def sample_cubemap(cubemap: jax.Array, dx, dy, dz):
-    """cubemap f32[6, F, F, 3] (Vulkan face order +X -X +Y -Y +Z -Z);
-    direction components planar [H, W].  Bilinear, per-face clamp-to-edge.
-    Face selection per the Vulkan cube-map equations.
-    Returns (r, g, b) planar."""
+def sample_cubemap(cubemap, dx, dy, dz):
+    """cubemap: tuple of 3 per-channel planes f32[6, F, F] (Vulkan face
+    order +X -X +Y -Y +Z -Z); direction components planar [H, W].
+    Bilinear, per-face clamp-to-edge, face selection per the Vulkan
+    cube-map equations.  Returns (r, g, b) planar."""
     ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     use_x = (ax >= ay) & (ax >= az)
     use_y = (~use_x) & (ay >= az)
@@ -165,7 +165,7 @@ def sample_cubemap(cubemap: jax.Array, dx, dy, dz):
     u = 0.5 * (sc / ma + 1.0)
     v = 0.5 * (tc / ma + 1.0)
 
-    size = cubemap.shape[1]
+    size = cubemap[0].shape[1]
     sf = jnp.float32(size)
     xf = u * sf - 0.5
     yf = v * sf - 0.5
@@ -186,7 +186,7 @@ def sample_cubemap(cubemap: jax.Array, dx, dy, dz):
 
     out = []
     for c in range(3):
-        plane = cubemap[..., c].reshape(-1)
+        plane = cubemap[c].reshape(-1)
         t00 = jnp.take(plane, i00)
         t10 = jnp.take(plane, i10)
         t01 = jnp.take(plane, i01)

@@ -82,7 +82,8 @@ def render_frame_sharded(scene, scene_data: dict, settings: dict,
             from ..ops import setup as rsetup
             visible = rsetup.cull_objects(scene.obj_world, scene.obj_bounds,
                                           planes)
-            tri_visible = visible[scene.vert_obj[scene.tris[:, 0]]]
+            tri_visible = jnp.take(visible,
+                                   jnp.take(scene.vert_obj, scene.tris[0]))
             world_pos, _ = rsetup.transform_vertices(
                 scene.positions, scene.vert_obj, scene.obj_world,
                 sd["viewproj"])

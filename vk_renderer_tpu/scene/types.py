@@ -82,15 +82,25 @@ class SceneArrays:
 
     @property
     def num_vertices(self) -> int:
-        return self.positions.shape[0]
+        p = self.positions
+        return p[0].shape[0] if isinstance(p, tuple) else p.shape[0]
 
     @property
     def num_triangles(self) -> int:
-        return self.tris.shape[0]
+        t = self.tris
+        return t[0].shape[0] if isinstance(t, tuple) else t.shape[0]
 
     def device_put(self) -> "SceneArrays":
         """Upload all arrays once (the immediate_submit analog,
-        vk_loader.cpp:54-74 — but a single batched transfer)."""
+        vk_loader.cpp:54-74 — but a single batched transfer).
+
+        Per-vertex/per-triangle attribute matrices are split into PLANAR
+        column tuples on device ([N, 3]-style minor dims are pathologically
+        slow on TPU — see ops/texture.py): ``positions`` becomes
+        ``(x, y, z)``, ``tris`` becomes ``(i0, i1, i2)``, the cubemap
+        becomes per-channel ``[6, F, F]`` planes, etc.  Host-side builders
+        keep the natural 2-D NumPy forms.
+        """
         import jax.numpy as jnp
 
         def put(x):
@@ -98,16 +108,34 @@ class SceneArrays:
                 return jax.device_put(jnp.asarray(x))
             return x
 
+        def put_cols(x):
+            return tuple(put(np.ascontiguousarray(x[:, c]))
+                         for c in range(x.shape[1]))
+
         tex = self.textures
         new_tex = TextureTable(*(put(getattr(tex, f.name)) for f in dataclasses.fields(tex))) if tex else None
-        kwargs = {}
-        for f in dataclasses.fields(self):
-            v = getattr(self, f.name)
-            if f.name == "textures":
-                kwargs[f.name] = new_tex
-            else:
-                kwargs[f.name] = put(v)
-        return SceneArrays(**kwargs)
+        cubemap = None
+        if self.cubemap is not None:
+            cubemap = tuple(put(np.ascontiguousarray(self.cubemap[..., c]))
+                            for c in range(3))
+        return SceneArrays(
+            positions=put_cols(self.positions),
+            normals=put_cols(self.normals),
+            uvs=put_cols(self.uvs),
+            colors=put_cols(self.colors),
+            vert_obj=put(self.vert_obj),
+            tris=put_cols(self.tris),
+            tri_material=put(self.tri_material),
+            n_opaque=self.n_opaque, n_masked=self.n_masked,
+            n_transparent=self.n_transparent,
+            obj_world=put(self.obj_world),
+            obj_bounds=put(self.obj_bounds),
+            mat_color_factors=put(self.mat_color_factors),
+            mat_metal_rough=put(self.mat_metal_rough),
+            mat_tex_ids=put(self.mat_tex_ids),
+            textures=new_tex,
+            cubemap=cubemap,
+        )
 
 
 def register_pytrees():
