@@ -70,7 +70,7 @@ class TestPallasRaster:
     def test_empty_bins(self):
         padded, bins, counts = _setup_scene(n=1)
         counts = jnp.zeros_like(counts)
-        bins = jnp.full_like(bins, padded["edge"].shape[0] - 1)
+        bins = jnp.full_like(bins, padded["edge"][0].shape[0] - 1)
         d_p, i_p = _interpret_pallas(padded, bins, counts, W, H,
                                      tile_w=128, tile_h=32, chunk=64)
         assert np.all(np.asarray(d_p) == 1.0)
