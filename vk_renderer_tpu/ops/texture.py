@@ -37,10 +37,9 @@ def _desc_take(offsets, sizes, tex_id, level):
     return off, w, h
 
 
-def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level,
-                    channels=(0, 1, 2, 3)):
-    """One mip level, REPEAT wrap, bilinear.  u/v: [H, W] planar.
-    Returns a tuple of [H, W] arrays, one per requested channel."""
+def _corner_indices(offsets, sizes, tex_id, u, v, level):
+    """Bilinear corner flat indices + fractions for one mip level.
+    Returns ([4, H, W] indices, fx, fy)."""
     off, w, h = _desc_take(offsets, sizes, tex_id, level)
     x = u * w.astype(jnp.float32) - 0.5
     y = v * h.astype(jnp.float32) - 0.5
@@ -54,22 +53,28 @@ def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level,
 
     x0i = wrap(x0, w); x1i = wrap(x0 + 1, w)
     y0i = wrap(y0, h); y1i = wrap(y0 + 1, h)
-    i00 = off + y0i * w + x0i
-    i10 = off + y0i * w + x1i
-    i01 = off + y1i * w + x0i
-    i11 = off + y1i * w + x1i
+    idx = jnp.stack([off + y0i * w + x0i, off + y0i * w + x1i,
+                     off + y1i * w + x0i, off + y1i * w + x1i])
+    return idx, fx, fy
 
-    out = []
-    for c in channels:
-        plane = texels[c]
-        t00 = jnp.take(plane, i00)
-        t10 = jnp.take(plane, i10)
-        t01 = jnp.take(plane, i01)
-        t11 = jnp.take(plane, i11)
-        top = t00 + (t10 - t00) * fx
-        bot = t01 + (t11 - t01) * fx
-        out.append(top + (bot - top) * fy)
-    return tuple(out)
+
+def _bilerp(corners, fx, fy):
+    """corners [4, H, W] -> bilinear blend."""
+    top = corners[0] + (corners[1] - corners[0]) * fx
+    bot = corners[2] + (corners[3] - corners[2]) * fx
+    return top + (bot - top) * fy
+
+
+def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level,
+                    channels=(0, 1, 2, 3)):
+    """One mip level, REPEAT wrap, bilinear.  u/v: [H, W] planar.
+    Returns a tuple of [H, W] arrays, one per requested channel.
+
+    PERF: the 4 corner gathers go through ONE take per channel — separate
+    gathers with array-computed coordinates trip an XLA TPU fusion that
+    serializes them (see sample_shadow_batch)."""
+    idx, fx, fy = _corner_indices(offsets, sizes, tex_id, u, v, level)
+    return tuple(_bilerp(jnp.take(texels[c], idx), fx, fy) for c in channels)
 
 
 def compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy):
@@ -94,11 +99,20 @@ def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
     l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
     frac = lam - l0.astype(jnp.float32)
 
-    c0 = _bilinear_level(textures.texels, textures.mip_offsets,
-                         textures.mip_sizes, tex_id, u, v, l0, channels)
-    c1 = _bilinear_level(textures.texels, textures.mip_offsets,
-                         textures.mip_sizes, tex_id, u, v, l1, channels)
-    return tuple(a + (b - a) * frac for a, b in zip(c0, c1))
+    # both mip levels' corner gathers in ONE take per channel (8 corner
+    # planes) — see _bilinear_level's perf note
+    i0, fx0, fy0 = _corner_indices(textures.mip_offsets, textures.mip_sizes,
+                                   tex_id, u, v, l0)
+    i1, fx1, fy1 = _corner_indices(textures.mip_offsets, textures.mip_sizes,
+                                   tex_id, u, v, l1)
+    idx = jnp.concatenate([i0, i1])
+    out = []
+    for c in channels:
+        g = jnp.take(textures.texels[c], idx)
+        a = _bilerp(g[:4], fx0, fy0)
+        b = _bilerp(g[4:], fx1, fy1)
+        out.append(a + (b - a) * frac)
+    return tuple(out)
 
 
 def sample_bilinear_lod0(textures, tex_id, u, v, channels=(0, 1, 2, 3)):
@@ -112,25 +126,32 @@ def sample_bilinear_lod0(textures, tex_id, u, v, channels=(0, 1, 2, 3)):
 # shadow map: 2D array, linear filter, clamp-to-border white
 # ----------------------------------------------------------------------------
 
-def sample_shadow(shadow_maps: jax.Array, u: jax.Array, v: jax.Array,
-                  layer: jax.Array) -> jax.Array:
-    """shadow_maps f32[L, S, S]; u/v/layer planar [H, W].
-    Bilinear with border depth 1.0 outside [0,1]^2 (opaque-white border:
-    depth 1.0 compares as 'no blocker')."""
+def sample_shadow_batch(shadow_maps: jax.Array, us: jax.Array, vs: jax.Array,
+                        layer: jax.Array) -> jax.Array:
+    """Batched bilinear shadow taps.  shadow_maps f32[L, S, S];
+    us/vs [K, H, W] (K independent filter taps); layer [H, W].
+    Border depth 1.0 outside [0,1]^2 (opaque-white border).
+
+    PERF: all K taps gather through ONE take per bilinear corner.  Multiple
+    separate gathers whose coordinates depend on per-pixel arrays trip an
+    XLA TPU fusion that serializes them (~100 ms per 2M-pixel gather);
+    a single big gather stays vectorized (~0.1 ms)."""
     size = shadow_maps.shape[-1]
     sf = jnp.float32(size)
-    x = u * sf - 0.5
-    y = v * sf - 0.5
+    x = us * sf - 0.5
+    y = vs * sf - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
+    plane = shadow_maps.reshape(-1)
+    base = (layer * (size * size))[None]
 
     def tap(xi, yi):
         inside = (xi >= 0) & (xi < size) & (yi >= 0) & (yi < size)
         xc = jnp.clip(xi, 0, size - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, size - 1).astype(jnp.int32)
-        return jnp.where(inside, shadow_maps[layer, yc, xc], 1.0)
+        return jnp.where(inside, jnp.take(plane, base + yc * size + xc), 1.0)
 
     x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
     t00 = tap(x0i, y0i); t10 = tap(x0i + 1, y0i)
@@ -138,6 +159,12 @@ def sample_shadow(shadow_maps: jax.Array, u: jax.Array, v: jax.Array,
     top = t00 + (t10 - t00) * fx
     bot = t01 + (t11 - t01) * fx
     return top + (bot - top) * fy
+
+
+def sample_shadow(shadow_maps: jax.Array, u: jax.Array, v: jax.Array,
+                  layer: jax.Array) -> jax.Array:
+    """Single bilinear shadow tap (see sample_shadow_batch)."""
+    return sample_shadow_batch(shadow_maps, u[None], v[None], layer)[0]
 
 
 # ----------------------------------------------------------------------------
@@ -179,19 +206,7 @@ def sample_cubemap(cubemap, dx, dy, dz):
     y1i = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
 
     base = face * (size * size)
-    i00 = base + y0i * size + x0i
-    i10 = base + y0i * size + x1i
-    i01 = base + y1i * size + x0i
-    i11 = base + y1i * size + x1i
-
-    out = []
-    for c in range(3):
-        plane = cubemap[c].reshape(-1)
-        t00 = jnp.take(plane, i00)
-        t10 = jnp.take(plane, i10)
-        t01 = jnp.take(plane, i01)
-        t11 = jnp.take(plane, i11)
-        top = t00 + (t10 - t00) * fx
-        bot = t01 + (t11 - t01) * fx
-        out.append(top + (bot - top) * fy)
-    return tuple(out)
+    idx = jnp.stack([base + y0i * size + x0i, base + y0i * size + x1i,
+                     base + y1i * size + x0i, base + y1i * size + x1i])
+    return tuple(_bilerp(jnp.take(cubemap[c].reshape(-1), idx), fx, fy)
+                 for c in range(3))
