@@ -55,7 +55,9 @@ def _corner_indices(offsets, sizes, tex_id, u, v, level):
     y0i = wrap(y0, h); y1i = wrap(y0 + 1, h)
     idx = jnp.stack([off + y0i * w + x0i, off + y0i * w + x1i,
                      off + y1i * w + x0i, off + y1i * w + x1i])
-    return idx, fx, fy
+    # see sample_shadow_batch: materialized indices keep the gather on the
+    # fast vectorized path
+    return jax.lax.optimization_barrier(idx), fx, fy
 
 
 def _bilerp(corners, fx, fy):
@@ -144,14 +146,15 @@ def sample_shadow_batch(shadow_maps: jax.Array, us: jax.Array, vs: jax.Array,
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-    plane = shadow_maps.reshape(-1)
-    base = (layer * (size * size))[None]
+    lb = jnp.broadcast_to(layer[None], us.shape)
 
     def tap(xi, yi):
         inside = (xi >= 0) & (xi < size) & (yi >= 0) & (yi < size)
         xc = jnp.clip(xi, 0, size - 1).astype(jnp.int32)
         yc = jnp.clip(yi, 0, size - 1).astype(jnp.int32)
-        return jnp.where(inside, jnp.take(plane, base + yc * size + xc), 1.0)
+        # 3-D indexing gathers on the map's natural tiled layout (an in-jit
+        # reshape(-1) forces a full 64MB relayout)
+        return jnp.where(inside, shadow_maps[lb, yc, xc], 1.0)
 
     x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
     t00 = tap(x0i, y0i); t10 = tap(x0i + 1, y0i)
@@ -205,8 +208,7 @@ def sample_cubemap(cubemap, dx, dy, dz):
     y0i = jnp.clip(y0, 0, size - 1).astype(jnp.int32)
     y1i = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
 
-    base = face * (size * size)
-    idx = jnp.stack([base + y0i * size + x0i, base + y0i * size + x1i,
-                     base + y1i * size + x0i, base + y1i * size + x1i])
-    return tuple(_bilerp(jnp.take(cubemap[c].reshape(-1), idx), fx, fy)
-                 for c in range(3))
+    fb = jnp.stack([face, face, face, face])
+    ys = jnp.stack([y0i, y0i, y1i, y1i])
+    xs = jnp.stack([x0i, x1i, x0i, x1i])
+    return tuple(_bilerp(cubemap[c][fb, ys, xs], fx, fy) for c in range(3))

@@ -113,7 +113,17 @@ class SceneArrays:
                          for c in range(x.shape[1]))
 
         tex = self.textures
-        new_tex = TextureTable(*(put(getattr(tex, f.name)) for f in dataclasses.fields(tex))) if tex else None
+        new_tex = None
+        if tex is not None:
+            # channel planes as four born-1-D arrays: a [4, N] device array
+            # tiles as 4 sublanes x N lanes and gathers from row slices are
+            # pathologically slow
+            new_tex = TextureTable(
+                texels=tuple(put(np.ascontiguousarray(tex.texels[c]))
+                             for c in range(4)),
+                mip_offsets=put(tex.mip_offsets),
+                mip_sizes=put(tex.mip_sizes),
+                n_mips=put(tex.n_mips))
         cubemap = None
         if self.cubemap is not None:
             cubemap = tuple(put(np.ascontiguousarray(self.cubemap[..., c]))
