@@ -88,10 +88,11 @@ class TestTextureHeap:
         b, ids = textures.make_default_heap()
         t = b.build()
         # slot 0 = flat normal (vk_engine_init.cpp:351-355 double write);
-        # heap is planar channels-first
-        np.testing.assert_allclose(t.texels[:, t.mip_offsets[0, 0]],
-                                   [128 / 255, 128 / 255, 1.0, 1.0], atol=1e-6)
-        np.testing.assert_allclose(t.texels[:, t.mip_offsets[1, 0]], [1, 1, 1, 1])
+        # heap is packed RGBA8 u32
+        def unpack(v):
+            return [(int(v) >> (8 * c)) & 0xFF for c in range(4)]
+        assert unpack(t.texels[t.mip_offsets[0, 0]]) == [128, 128, 255, 255]
+        assert unpack(t.texels[t.mip_offsets[1, 0]]) == [255, 255, 255, 255]
 
     def test_mip_chain_counts(self):
         b = textures.TextureHeapBuilder()
@@ -109,14 +110,27 @@ class TestTextureHeap:
         assert m[0, 0, 0] == pytest.approx(0.25)
         assert m[1, 1, 0] == pytest.approx(0.0)
 
-    def test_srgb_decode(self):
+    def test_srgb_roundtrip_and_flag(self):
         b = textures.TextureHeapBuilder()
+        solid = b.add_solid((1.0, 1.0, 1.0, 1.0))
         img = np.full((2, 2, 4), 128, np.uint8)
         i = b.add(img, srgb=True, mipmapped=False)
         t = b.build()
-        # sRGB 128/255 -> linear ~0.2158; alpha stays 128/255
-        assert t.texels[0, t.mip_offsets[i, 0]] == pytest.approx(0.21586, abs=1e-4)
-        assert t.texels[3, t.mip_offsets[i, 0]] == pytest.approx(128 / 255, abs=1e-6)
+        # sRGB u8 -> linear f32 -> sRGB u8 must round-trip exactly
+        v = int(t.texels[t.mip_offsets[i, 0]])
+        assert (v & 0xFF) == 128 and ((v >> 24) & 0xFF) == 128
+        assert t.srgb_flags[i] == 1 and t.srgb_flags[solid] == 0
+
+    def test_row_padding_wraps(self):
+        b = textures.TextureHeapBuilder()
+        img = np.zeros((2, 4, 4), np.uint8)
+        img[0, 0] = (10, 20, 30, 40)
+        i = b.add(img, srgb=False, mipmapped=False)
+        t = b.build()
+        off = t.mip_offsets[i, 0]
+        w = t.mip_sizes[i, 0, 0]
+        # padded row: texel at x==w duplicates x==0 (REPEAT)
+        assert t.texels[off + w] == t.texels[off]
 
     def test_min_alpha_classification(self):
         b = textures.TextureHeapBuilder()

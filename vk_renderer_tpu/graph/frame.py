@@ -62,24 +62,19 @@ def _frustum_planes(viewproj: jax.Array) -> jax.Array:
     return planes / jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
 
 
-def _winner_alpha(scene, tid, padded, tris_p, tri_mat_p):
+def _winner_alpha(scene, tid, rows, vattr):
     """Dense planar trilinear albedo-alpha of the per-pixel winning
     triangle (the mesh_pbr.frag:192-193 discard operand)."""
-    weights = interp.interpolation_weights(tid, padded)
-    ids = weights["ids"]
-    vidx = interp.corner_indices(tris_p, ids)
-    u, dudx, dudy = interp.interp_channel_with_derivs(scene.uvs[0], vidx,
-                                                      weights)
-    v, dvdx, dvdy = interp.interp_channel_with_derivs(scene.uvs[1], vidx,
-                                                      weights)
-    mat_id = jnp.take(tri_mat_p, ids)
-    aid = jnp.take(scene.mat_tex_ids[:, 0], mat_id)
+    weights = interp.interpolation_weights_rows(tid, rows[0], rows[1])
+    (u, dudx, dudy), (v, dvdx, dvdy) = interp.interp_rows_with_derivs(
+        vattr, (6, 7), weights)
+    aid = jnp.take(scene.mat_tex_ids[:, 0], weights["mat_id"])
     (alpha,) = tex.sample_trilinear(scene.textures, aid, u, v,
                                     dudx, dvdx, dudy, dvdy, channels=(3,))
     return alpha
 
 
-def _masked_pass(scene, cfg, st, padded, tris_p, tri_mat_p, is_masked,
+def _masked_pass(scene, cfg, st, padded, rows, vattr, is_masked,
                  depth, tid):
     """Alpha-cutoff bucket resolved by depth peeling: rasterize the
     nearest not-yet-rejected masked fragment, evaluate its trilinear albedo
@@ -98,7 +93,7 @@ def _masked_pass(scene, cfg, st, padded, tris_p, tri_mat_p, is_masked,
             tile_h=cfg.tile_h, chunk=cfg.masked_chunk, init_depth=depth,
             init_id=jnp.full((h, w), -1, jnp.int32), floor_depth=floor)
         found = t2 >= 0
-        alpha = _winner_alpha(scene, t2, padded, tris_p, tri_mat_p)
+        alpha = _winner_alpha(scene, t2, rows, vattr)
         accept = found & (alpha >= 0.5)
         depth = jnp.where(accept, d2, depth)
         tid = jnp.where(accept, t2, tid)
@@ -206,6 +201,8 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     zero_i = jnp.zeros((1,), jnp.int32)
     tris_p = tuple(jnp.concatenate([t, zero_i]) for t in scene.tris)
     tri_mat_p = jnp.concatenate([scene.tri_material, zero_i])
+    rows = interp.build_tri_rows(padded, tris_p, tri_mat_p)
+    vattr, vpos = _build_vertex_rows(scene, world_pos, world_nrm)
 
     tri_idx = jnp.arange(n_tris, dtype=jnp.int32)
     is_opaque = tri_idx < scene.n_opaque
@@ -222,13 +219,12 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
 
     overflow = ovf_o
     if scene.n_masked > 0:
-        depth, tid, ovf_m = _masked_pass(scene, cfg, st, padded, tris_p,
-                                         tri_mat_p, is_masked, depth, tid)
+        depth, tid, ovf_m = _masked_pass(scene, cfg, st, padded, rows, vattr,
+                                         is_masked, depth, tid)
         overflow = overflow + ovf_m
 
     # ---- G-buffer interpolation (fixed-function varyings, SURVEY F3)
-    gbuf = _build_gbuffer(scene, scene_data, tid, padded, tris_p, tri_mat_p,
-                          world_pos, world_nrm)
+    gbuf = _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos)
 
     # ---- shading (planar channels)
     shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
@@ -257,8 +253,8 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     # ---- additive transparent pass (depth peeling, order-independent sum)
     if scene.n_transparent > 0:
         color = _transparent_pass(scene, scene_data, settings, cfg, st, padded,
-                                  tris_p, tri_mat_p, world_pos, world_nrm,
-                                  is_transp, depth, shadow_maps, color)
+                                  rows, vattr, vpos, is_transp, depth,
+                                  shadow_maps, color)
 
     # ---- tonemap postprocess (tonemap.comp), then pack planar -> [3, H, W]
     color = jnp.stack(color)
@@ -271,39 +267,44 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                       "bin_overflow": overflow}}
 
 
-def _build_gbuffer(scene, scene_data, tid, padded, tris_p, tri_mat_p,
-                   world_pos, world_nrm):
+def _build_vertex_rows(scene, world_pos, world_nrm):
+    """Per-frame packed vertex-attribute row tables:
+    vattr [V, 8] = nx ny nz cr cg cb u v;  vpos [V, 4] = wx wy wz pad.
+    One row-gather per corner replaces ~12 element takes (see
+    interp.build_tri_rows)."""
+    vattr = jnp.stack([world_nrm[0], world_nrm[1], world_nrm[2],
+                       scene.colors[0], scene.colors[1], scene.colors[2],
+                       scene.uvs[0], scene.uvs[1]], axis=-1)
+    vpos = jnp.stack([world_pos[0], world_pos[1], world_pos[2],
+                      jnp.zeros_like(world_pos[0])], axis=-1)
+    return vattr, vpos
+
+
+def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos):
     """Planar G-buffer (see ops/shade.py docstring for the key list)."""
-    weights = interp.interpolation_weights(tid, padded)
-    ids = weights["ids"]
-    vidx = interp.corner_indices(tris_p, ids)
+    weights = interp.interpolation_weights_rows(tid, rows[0], rows[1])
     lam = weights["lam"]
+    vidx = weights["vidx"]
 
     g = {}
-    g["nx"] = interp.interp_channel(world_nrm[0], vidx, lam)
-    g["ny"] = interp.interp_channel(world_nrm[1], vidx, lam)
-    g["nz"] = interp.interp_channel(world_nrm[2], vidx, lam)
-    g["cr"] = interp.interp_channel(scene.colors[0], vidx, lam)
-    g["cg"] = interp.interp_channel(scene.colors[1], vidx, lam)
-    g["cb"] = interp.interp_channel(scene.colors[2], vidx, lam)
-    g["wx"] = interp.interp_channel(world_pos[0], vidx, lam)
-    g["wy"] = interp.interp_channel(world_pos[1], vidx, lam)
-    g["wz"] = interp.interp_channel(world_pos[2], vidx, lam)
-    g["u"], g["dudx"], g["dudy"] = interp.interp_channel_with_derivs(
-        scene.uvs[0], vidx, weights)
-    g["v"], g["dvdx"], g["dvdy"] = interp.interp_channel_with_derivs(
-        scene.uvs[1], vidx, weights)
+    a = interp.interp_rows(vattr, vidx, lam)
+    g["nx"], g["ny"], g["nz"] = a[0], a[1], a[2]
+    g["cr"], g["cg"], g["cb"] = a[3], a[4], a[5]
+    (g["u"], g["dudx"], g["dudy"]), (g["v"], g["dvdx"], g["dvdy"]) = \
+        interp.interp_rows_with_derivs(vattr, (6, 7), weights)
+    pz = interp.interp_rows(vpos, vidx, lam)
+    g["wx"], g["wy"], g["wz"] = pz[0], pz[1], pz[2]
     view = scene_data["view"]
     g["view_z"] = (g["wx"] * view[2, 0] + g["wy"] * view[2, 1]
                    + g["wz"] * view[2, 2] + view[2, 3])
-    g["mat_id"] = jnp.take(tri_mat_p, ids)
+    g["mat_id"] = weights["mat_id"]
     g["covered"] = tid >= 0
     return g
 
 
-def _transparent_pass(scene, scene_data, settings, cfg, st, padded, tris_p,
-                      tri_mat_p, world_pos, world_nrm, is_transp,
-                      opaque_depth, shadow_maps, color):
+def _transparent_pass(scene, scene_data, settings, cfg, st, padded, rows,
+                      vattr, vpos, is_transp, opaque_depth, shadow_maps,
+                      color):
     """Additive-blend transparent geometry (vk_pipelines.cpp:108-118:
     srcAlpha*src + dst; mesh_pbr always writes alpha=1 so effectively
     ONE/ONE), depth test against opaque LESS_OR_EQUAL, depth write off —
@@ -324,8 +325,7 @@ def _transparent_pass(scene, scene_data, settings, cfg, st, padded, tris_p,
             chunk=min(cfg.raster_chunk, cfg.cap_transparent),
             init_depth=opaque_depth,
             init_id=jnp.full((h, w), -1, jnp.int32), floor_depth=floor)
-        gbuf = _build_gbuffer(scene, scene_data, tidt, padded, tris_p,
-                              tri_mat_p, world_pos, world_nrm)
+        gbuf = _build_gbuffer(scene, scene_data, tidt, rows, vattr, vpos)
         rgb, alpha = shader(gbuf, scene, scene_data, shadow_maps,
                             cfg.shadow_mode, cfg.enable_shadows)
         contrib = (tidt >= 0) & (alpha >= 0.5)          # discard still applies

@@ -26,6 +26,53 @@ def pixel_centers(height: int, width: int):
     return px, py
 
 
+def build_tri_rows(setup_padded: dict, tris_p, tri_mat_p):
+    """Pack everything per-pixel interpolation needs into two [T+1, 8] row
+    tables, so the per-pixel lookup is TWO row-gathers instead of ~14
+    element takes (XLA TPU gathers cost ~11ns per INDEX regardless of the
+    slice width up to 8).
+
+    row1 = a0 b0 c0 a1 b1 c1 a2 b2
+    row2 = c2 ax ay mat_id i0 i1 i2 pad   (ids as f32, exact below 2^24)
+    """
+    e = setup_padded["edge"]
+    anc = setup_padded["anchor"]
+    f = jnp.float32
+    row1 = jnp.stack([e[0], e[1], e[2], e[3], e[4], e[5], e[6], e[7]], axis=-1)
+    row2 = jnp.stack([e[8], anc[0], anc[1], tri_mat_p.astype(f),
+                      tris_p[0].astype(f), tris_p[1].astype(f),
+                      tris_p[2].astype(f), jnp.zeros_like(e[8])], axis=-1)
+    return row1, row2
+
+
+def interpolation_weights_rows(tri_id: jax.Array, row1: jax.Array,
+                               row2: jax.Array):
+    """Row-gather variant of interpolation_weights; additionally returns
+    per-pixel ``mat_id`` and corner vertex indices ``vidx`` for free."""
+    h, w = tri_id.shape
+    sentinel = row1.shape[0] - 1
+    ids = jnp.where(tri_id < 0, sentinel, tri_id)
+    r1 = row1[ids]                                   # [H, W, 8]
+    r2 = row2[ids]
+
+    px, py = pixel_centers(h, w)
+    pxa = px - r2[..., 1]
+    pya = py - r2[..., 2]
+
+    a = (r1[..., 0], r1[..., 3], r1[..., 6])
+    b = (r1[..., 1], r1[..., 4], r1[..., 7])
+    c = (r1[..., 2], r1[..., 5], r2[..., 0])
+    e = tuple(a[i] * pxa + b[i] * pya + c[i] for i in range(3))
+    esum = e[0] + e[1] + e[2]
+    esafe = jnp.where(esum != 0.0, esum, 1.0)
+    inv = 1.0 / esafe
+    lam = tuple(ei * inv for ei in e)
+    mat_id = r2[..., 3].astype(jnp.int32)
+    vidx = tuple(r2[..., 4 + k].astype(jnp.int32) for k in range(3))
+    return {"lam": lam, "a": a, "b": b, "esum": esafe, "inv_esum": inv,
+            "ids": ids, "mat_id": mat_id, "vidx": vidx}
+
+
 def interpolation_weights(tri_id: jax.Array, setup_padded: dict):
     """Perspective-correct weights + plane coefficients for derivatives.
 
@@ -75,6 +122,37 @@ def interp_channel(vals: jax.Array, vidx, lam) -> jax.Array:
     return (jnp.take(vals, vidx[0]) * lam[0]
             + jnp.take(vals, vidx[1]) * lam[1]
             + jnp.take(vals, vidx[2]) * lam[2])
+
+
+def interp_rows(vrows: jax.Array, vidx, lam):
+    """Interpolate a [V, C<=8] row table of per-vertex attributes with ONE
+    row-gather per corner.  Returns a tuple of C planar channels."""
+    c0 = vrows[vidx[0]]                              # [H, W, C]
+    c1 = vrows[vidx[1]]
+    c2 = vrows[vidx[2]]
+    n = vrows.shape[1]
+    return tuple(c0[..., k] * lam[0] + c1[..., k] * lam[1]
+                 + c2[..., k] * lam[2] for k in range(n))
+
+
+def interp_rows_with_derivs(vrows: jax.Array, channels, weights: dict):
+    """Like interp_rows but also returns d/dx, d/dy for the requested
+    channel positions (quotient rule; see interp_channel_with_derivs)."""
+    vidx = weights["vidx"]
+    lam, a, b, inv = weights["lam"], weights["a"], weights["b"], weights["inv_esum"]
+    c0 = vrows[vidx[0]]
+    c1 = vrows[vidx[1]]
+    c2 = vrows[vidx[2]]
+    dax = a[0] + a[1] + a[2]
+    day = b[0] + b[1] + b[2]
+    out = []
+    for k in channels:
+        v0, v1, v2 = c0[..., k], c1[..., k], c2[..., k]
+        val = v0 * lam[0] + v1 * lam[1] + v2 * lam[2]
+        nx = v0 * a[0] + v1 * a[1] + v2 * a[2]
+        ny = v0 * b[0] + v1 * b[1] + v2 * b[2]
+        out.append((val, (nx - val * dax) * inv, (ny - val * day) * inv))
+    return out
 
 
 def interp_channel_with_derivs(vals: jax.Array, vidx, weights: dict):

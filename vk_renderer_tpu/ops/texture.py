@@ -25,6 +25,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from .gatherutil import gather_pairs
+
 
 def _desc_take(offsets, sizes, tex_id, level):
     """Per-(texture,mip) descriptor lookups via flat takes (small-table row
@@ -37,9 +39,27 @@ def _desc_take(offsets, sizes, tex_id, level):
     return off, w, h
 
 
-def _corner_indices(offsets, sizes, tex_id, u, v, level):
-    """Bilinear corner flat indices + fractions for one mip level.
-    Returns ([4, H, W] indices, fx, fy)."""
+def _unpack_rgba8(packed, srgb, channels):
+    """u32 packed RGBA8 -> requested channel planes in shading space
+    (per-texel sRGB decode before filtering for RGB of sRGB textures,
+    exactly like R8G8B8A8_SRGB sampling hardware)."""
+    out = []
+    for c in channels:
+        v = ((packed >> (8 * c)) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        if c < 3:
+            lin = jnp.where(v <= 0.04045, v / 12.92,
+                            jnp.power((v + 0.055) / 1.055, 2.4))
+            v = jnp.where(srgb, lin, v)
+        out.append(v)
+    return out
+
+
+def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
+                    channels=(0, 1, 2, 3)):
+    """One mip level, REPEAT wrap, bilinear over the packed u32 heap.
+    All four corners cost TWO 2-wide gathers (rows are wrap-padded, so an
+    x-pair is contiguous; TPU gathers cost per index, not per byte).
+    Returns a tuple of [H, W] planes for the requested channels."""
     off, w, h = _desc_take(offsets, sizes, tex_id, level)
     x = u * w.astype(jnp.float32) - 0.5
     y = v * h.astype(jnp.float32) - 0.5
@@ -51,32 +71,22 @@ def _corner_indices(offsets, sizes, tex_id, u, v, level):
     def wrap(i, n):  # REPEAT
         return jnp.mod(i.astype(jnp.int32), n)
 
-    x0i = wrap(x0, w); x1i = wrap(x0 + 1, w)
-    y0i = wrap(y0, h); y1i = wrap(y0 + 1, h)
-    idx = jnp.stack([off + y0i * w + x0i, off + y0i * w + x1i,
-                     off + y1i * w + x0i, off + y1i * w + x1i])
-    # see sample_shadow_batch: materialized indices keep the gather on the
-    # fast vectorized path
-    return jax.lax.optimization_barrier(idx), fx, fy
+    x0i = wrap(x0, w)
+    y0i = wrap(y0, h)
+    y1i = wrap(y0 + 1, h)
+    stride = w + 1                          # wrap-padded rows
+    p00, p10 = gather_pairs(texels, off + y0i * stride + x0i)
+    p01, p11 = gather_pairs(texels, off + y1i * stride + x0i)
 
-
-def _bilerp(corners, fx, fy):
-    """corners [4, H, W] -> bilinear blend."""
-    top = corners[0] + (corners[1] - corners[0]) * fx
-    bot = corners[2] + (corners[3] - corners[2]) * fx
-    return top + (bot - top) * fy
-
-
-def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level,
-                    channels=(0, 1, 2, 3)):
-    """One mip level, REPEAT wrap, bilinear.  u/v: [H, W] planar.
-    Returns a tuple of [H, W] arrays, one per requested channel.
-
-    PERF: the 4 corner gathers go through ONE take per channel — separate
-    gathers with array-computed coordinates trip an XLA TPU fusion that
-    serializes them (see sample_shadow_batch)."""
-    idx, fx, fy = _corner_indices(offsets, sizes, tex_id, u, v, level)
-    return tuple(_bilerp(jnp.take(texels[c], idx), fx, fy) for c in channels)
+    out = []
+    for (t00, t10, t01, t11) in zip(_unpack_rgba8(p00, srgb, channels),
+                                    _unpack_rgba8(p10, srgb, channels),
+                                    _unpack_rgba8(p01, srgb, channels),
+                                    _unpack_rgba8(p11, srgb, channels)):
+        top = t00 + (t10 - t00) * fx
+        bot = t01 + (t11 - t01) * fx
+        out.append(top + (bot - top) * fy)
+    return tuple(out)
 
 
 def compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy):
@@ -100,28 +110,21 @@ def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
     l0 = jnp.floor(lam).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
     frac = lam - l0.astype(jnp.float32)
+    srgb = jnp.take(textures.srgb_flags, tex_id) > 0
 
-    # both mip levels' corner gathers in ONE take per channel (8 corner
-    # planes) — see _bilinear_level's perf note
-    i0, fx0, fy0 = _corner_indices(textures.mip_offsets, textures.mip_sizes,
-                                   tex_id, u, v, l0)
-    i1, fx1, fy1 = _corner_indices(textures.mip_offsets, textures.mip_sizes,
-                                   tex_id, u, v, l1)
-    idx = jnp.concatenate([i0, i1])
-    out = []
-    for c in channels:
-        g = jnp.take(textures.texels[c], idx)
-        a = _bilerp(g[:4], fx0, fy0)
-        b = _bilerp(g[4:], fx1, fy1)
-        out.append(a + (b - a) * frac)
-    return tuple(out)
+    c0 = _bilinear_level(textures.texels, textures.mip_offsets,
+                         textures.mip_sizes, tex_id, u, v, l0, srgb, channels)
+    c1 = _bilinear_level(textures.texels, textures.mip_offsets,
+                         textures.mip_sizes, tex_id, u, v, l1, srgb, channels)
+    return tuple(a + (b - a) * frac for a, b in zip(c0, c1))
 
 
 def sample_bilinear_lod0(textures, tex_id, u, v, channels=(0, 1, 2, 3)):
     """Bilinear sample at the base level (no mip chain)."""
+    srgb = jnp.take(textures.srgb_flags, tex_id) > 0
     return _bilinear_level(textures.texels, textures.mip_offsets,
                            textures.mip_sizes, tex_id, u, v,
-                           jnp.zeros_like(tex_id), channels)
+                           jnp.zeros_like(tex_id), srgb, channels)
 
 
 # ----------------------------------------------------------------------------
@@ -146,19 +149,26 @@ def sample_shadow_batch(shadow_maps: jax.Array, us: jax.Array, vs: jax.Array,
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-    lb = jnp.broadcast_to(layer[None], us.shape)
 
-    def tap(xi, yi):
-        inside = (xi >= 0) & (xi < size) & (yi >= 0) & (yi < size)
-        xc = jnp.clip(xi, 0, size - 1).astype(jnp.int32)
-        yc = jnp.clip(yi, 0, size - 1).astype(jnp.int32)
-        # 3-D indexing gathers on the map's natural tiled layout (an in-jit
-        # reshape(-1) forces a full 64MB relayout)
-        return jnp.where(inside, shadow_maps[lb, yc, xc], 1.0)
+    # border masks (applied to the gathered values; the x-pair gather may
+    # read a neighboring row's texel at x==size-1, but that lane is always
+    # border-masked so the value never matters)
+    x0in = (x0 >= 0) & (x0 < size)
+    x1in = (x0 + 1 >= 0) & (x0 + 1 < size)
+    y0in = (y0 >= 0) & (y0 < size)
+    y1in = (y0 + 1 >= 0) & (y0 + 1 < size)
 
-    x0i = x0.astype(jnp.int32); y0i = y0.astype(jnp.int32)
-    t00 = tap(x0i, y0i); t10 = tap(x0i + 1, y0i)
-    t01 = tap(x0i, y0i + 1); t11 = tap(x0i + 1, y0i + 1)
+    x0c = jnp.clip(x0, 0, size - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, size - 1).astype(jnp.int32)
+    y1c = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
+    base = (layer * (size * size))[None]
+    flat = shadow_maps.reshape(-1)
+    t00, t10 = gather_pairs(flat, base + y0c * size + x0c)
+    t01, t11 = gather_pairs(flat, base + y1c * size + x0c)
+    t00 = jnp.where(x0in & y0in, t00, 1.0)
+    t10 = jnp.where(x1in & y0in, t10, 1.0)
+    t01 = jnp.where(x0in & y1in, t01, 1.0)
+    t11 = jnp.where(x1in & y1in, t11, 1.0)
     top = t00 + (t10 - t00) * fx
     bot = t01 + (t11 - t01) * fx
     return top + (bot - top) * fy
@@ -211,4 +221,10 @@ def sample_cubemap(cubemap, dx, dy, dz):
     fb = jnp.stack([face, face, face, face])
     ys = jnp.stack([y0i, y0i, y1i, y1i])
     xs = jnp.stack([x0i, x1i, x0i, x1i])
-    return tuple(_bilerp(cubemap[c][fb, ys, xs], fx, fy) for c in range(3))
+    out = []
+    for c in range(3):
+        g = cubemap[c][fb, ys, xs]
+        top = g[0] + (g[1] - g[0]) * fx
+        bot = g[2] + (g[3] - g[2]) * fx
+        out.append(top + (bot - top) * fy)
+    return tuple(out)

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..utils.image import srgb_to_linear
+from ..utils.image import linear_to_srgb, srgb_to_linear
 from .types import MAX_MIPS, TextureTable
 
 
@@ -65,6 +65,7 @@ class TextureHeapBuilder:
 
     def __init__(self):
         self._textures: list[list[np.ndarray]] = []   # per texture: list of mips
+        self._srgb: list[bool] = []
 
     def add(self, rgba_u8: np.ndarray, *, srgb: bool, mipmapped: bool) -> int:
         """Add an RGBA8 image; returns its bindless index.  Uses the native
@@ -88,12 +89,14 @@ class TextureHeapBuilder:
         else:
             mips = [f]
         self._textures.append(mips)
+        self._srgb.append(bool(srgb))
         return len(self._textures) - 1
 
     def add_solid(self, rgba: tuple[float, float, float, float]) -> int:
         """1x1 UNORM constant texture (the default-texture path)."""
         px = np.array([[list(rgba)]], dtype=np.float32)
         self._textures.append([px])
+        self._srgb.append(False)
         return len(self._textures) - 1
 
     def min_alpha(self, index: int) -> float:
@@ -103,31 +106,46 @@ class TextureHeapBuilder:
         return float(min(m[..., 3].min() for m in self._textures[index]))
 
     def build(self) -> TextureTable:
+        """Pack the heap: RGBA8 in uint32 (the reference's texture format),
+        sRGB textures stored sRGB-encoded (mips re-encoded after the
+        linear-space blit chain — the hardware behavior), rows padded with
+        one duplicated REPEAT-wrap texel so bilinear x-pairs are contiguous
+        2-wide gathers."""
         n_tex = len(self._textures)
         offsets = np.zeros((n_tex, MAX_MIPS), dtype=np.int32)
         sizes = np.ones((n_tex, MAX_MIPS, 2), dtype=np.int32)
         n_mips = np.zeros(n_tex, dtype=np.int32)
+        srgb_flags = np.array([1 if s else 0 for s in self._srgb], np.int32)
         chunks = []
         cursor = 0
         for t, mips in enumerate(self._textures):
             n_mips[t] = len(mips)
             for m, img in enumerate(mips):
                 h, w = img.shape[:2]
+                f = np.clip(img, 0.0, 1.0)
+                if self._srgb[t]:
+                    # re-encode: RGB to sRGB, alpha stays linear
+                    f = np.concatenate([linear_to_srgb(f[..., :3]),
+                                        f[..., 3:]], axis=-1)
+                u8 = (f * 255.0 + 0.5).astype(np.uint32)
+                packed = (u8[..., 0] | (u8[..., 1] << 8)
+                          | (u8[..., 2] << 16) | (u8[..., 3] << 24))
+                # pad each row with the wrap texel (x == w -> texel 0)
+                padded = np.concatenate([packed, packed[:, :1]], axis=1)
                 offsets[t, m] = cursor
                 sizes[t, m] = (w, h)
-                chunks.append(img.reshape(-1, 4))
-                cursor += w * h
+                chunks.append(padded.reshape(-1).astype(np.uint32))
+                cursor += (w + 1) * h
             # clamp-extend: trilinear may address level n_mips-1+1; point the
             # remaining slots at the last real level
             for m in range(len(mips), MAX_MIPS):
                 offsets[t, m] = offsets[t, len(mips) - 1]
                 sizes[t, m] = sizes[t, len(mips) - 1]
-        texels = (np.concatenate(chunks, axis=0) if chunks
-                  else np.zeros((1, 4), dtype=np.float32))
-        # planar channels-first: per-channel flat takes are the fast TPU
-        # gather form (see ops/common.take_rows rationale)
-        return TextureTable(texels=np.ascontiguousarray(texels.T.astype(np.float32)),
-                            mip_offsets=offsets, mip_sizes=sizes, n_mips=n_mips)
+        texels = (np.concatenate(chunks) if chunks
+                  else np.zeros((1,), dtype=np.uint32))
+        return TextureTable(texels=texels, mip_offsets=offsets,
+                            mip_sizes=sizes, n_mips=n_mips,
+                            srgb_flags=srgb_flags)
 
 
 def make_default_heap() -> tuple[TextureHeapBuilder, dict[str, int]]:

@@ -31,21 +31,25 @@ PASS_TRANSPARENT = 1
 class TextureTable:
     """Bindless-equivalent texture heap.
 
-    All texel data lives in one flat planar ``f32[4, N]`` buffer (channels
-    first — TPU gathers want per-channel flat takes) in *shading-ready*
-    space: sRGB images (glTF color textures, vk_loader.cpp:283) are decoded
-    to linear at load; UNORM images (default 1x1s, checkerboard,
-    vk_engine_init.cpp:320-341) are stored raw.  Mip chains are generated at
-    load in linear space (the GPU blit chain, vk_images.cpp:64-158, also
-    filters in linear space on sRGB formats).
+    All texel data lives in one flat ``u32[N]`` buffer of packed RGBA8 —
+    exactly the reference's R8G8B8A8 storage (vk_loader.cpp:283): sRGB
+    images keep their sRGB encoding (with mips re-encoded after linear-space
+    filtering, matching the hardware blit chain vk_images.cpp:64-158) and
+    are decoded to linear per-texel at sample time before filtering, exactly
+    like VK_FORMAT_R8G8B8A8_SRGB sampling; UNORM images are stored raw.
+
+    Rows are padded with one duplicated wrap texel so a bilinear x-pair is
+    one contiguous 2-wide gather (TPU gathers cost per-index, not per-byte).
 
     Per (texture, mip): ``mip_offset[t, m]`` is the row index of texel (0,0);
     level texels are row-major.  ``mip_sizes[t, m] = (width, height)``.
     """
-    texels: np.ndarray       # f32[4, N] planar (r, g, b, a)
-    mip_offsets: np.ndarray  # i32[T, MAX_MIPS]
-    mip_sizes: np.ndarray    # i32[T, MAX_MIPS, 2]  (w, h), clamped at 1
+    texels: np.ndarray       # u32[N] packed RGBA8 (r | g<<8 | b<<16 | a<<24),
+                             # rows padded by +1 duplicated texel (REPEAT)
+    mip_offsets: np.ndarray  # i32[T, MAX_MIPS] (padded-layout units)
+    mip_sizes: np.ndarray    # i32[T, MAX_MIPS, 2]  (w, h) logical, clamped at 1
     n_mips: np.ndarray       # i32[T]
+    srgb_flags: np.ndarray = None   # i32[T]: 1 = stored sRGB-encoded
 
 
 @dataclass
@@ -115,15 +119,12 @@ class SceneArrays:
         tex = self.textures
         new_tex = None
         if tex is not None:
-            # channel planes as four born-1-D arrays: a [4, N] device array
-            # tiles as 4 sublanes x N lanes and gathers from row slices are
-            # pathologically slow
             new_tex = TextureTable(
-                texels=tuple(put(np.ascontiguousarray(tex.texels[c]))
-                             for c in range(4)),
+                texels=put(tex.texels),
                 mip_offsets=put(tex.mip_offsets),
                 mip_sizes=put(tex.mip_sizes),
-                n_mips=put(tex.n_mips))
+                n_mips=put(tex.n_mips),
+                srgb_flags=put(tex.srgb_flags))
         cubemap = None
         if self.cubemap is not None:
             cubemap = tuple(put(np.ascontiguousarray(self.cubemap[..., c]))
@@ -166,7 +167,8 @@ def register_pytrees():
                            obj_bounds, mcf, mmr, mti, textures, cubemap)
 
     def tex_flatten(t: TextureTable):
-        return (t.texels, t.mip_offsets, t.mip_sizes, t.n_mips), None
+        return (t.texels, t.mip_offsets, t.mip_sizes, t.n_mips,
+                t.srgb_flags), None
 
     def tex_unflatten(_, children):
         return TextureTable(*children)
