@@ -44,7 +44,8 @@ class FrameConfig:
     cap_transparent: int = 256
     raster_chunk: int = 16
     masked_chunk: int = 8
-    transparent_peels: int = 4
+    transparent_peels: int = 2
+    masked_peels: int = 2
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     enable_shadows: bool = False     # vk_engine.h:116 default off
     shadow_mode: int = 0             # 0 Hard 1 PCF 2 PCSS 3 CSM
@@ -102,7 +103,7 @@ def _masked_pass(scene, cfg, st, padded, rows, vattr, is_masked,
 
     floor = jnp.full((h, w), -1.0, jnp.float32)
     (depth, tid, _), _ = jax.lax.scan(one_peel, (depth, tid, floor), None,
-                                      length=cfg.transparent_peels)
+                                      length=cfg.masked_peels)
     return depth, tid, ovf_m
 
 
