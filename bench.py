@@ -81,7 +81,7 @@ def main():
         "drawcalls": stats["drawcalls"],
         "bin_overflow": stats["bin_overflow"],
         "backend": jax.default_backend(),
-        "scene_triangles": int(scene.tris.shape[0]),
+        "scene_triangles": int(scene.num_triangles),
     }), file=sys.stderr)
 
 

@@ -206,3 +206,17 @@ class TestBinning:
                           and bbox[t, 0] < (c + 1) * 32 and bbox[t, 2] > c * 32
                           and bbox[t, 1] < (r + 1) * 32 and bbox[t, 3] > r * 32]
                 assert set(lst.tolist()) == set(expect)
+
+
+def test_coplanar_tie_later_draw_wins():
+    """Exact-depth ties resolve to the LATER submitted triangle
+    (LESS_OR_EQUAL sequential z-test) on the XLA path, matching the
+    Pallas kernel and the Vulkan reference."""
+    pts = [(20, 10), (100, 50), (30, 55)]
+    clip = np.concatenate([make_ortho_clip(pts, [0.5] * 3),
+                           make_ortho_clip(pts, [0.5] * 3)])
+    tris = [[0, 1, 2], [3, 4, 5]]
+    d, i = run_production(clip, tris, cull="none", cap=64)
+    covered = i >= 0
+    assert covered.sum() > 100
+    assert (i[covered] == 1).all(), "tie must go to the later triangle"

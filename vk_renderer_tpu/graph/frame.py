@@ -81,7 +81,7 @@ def _masked_pass(scene, cfg, st, padded, rows, vattr, is_masked,
     nearest not-yet-rejected masked fragment, evaluate its trilinear albedo
     alpha densely (planar), accept (alpha >= 0.5, mesh_pbr.frag:193) or
     peel past it.  Exact forward-pipeline semantics up to
-    ``transparent_peels`` discarded layers per pixel."""
+    ``cfg.masked_peels`` discarded layers per pixel."""
     w, h = cfg.width, cfg.height
     bins_m, cnt_m, ovf_m = binning.bin_triangles(
         st["bbox"], st["valid"] & is_masked, w, h, tile_w=cfg.tile_w,

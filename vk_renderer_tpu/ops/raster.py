@@ -162,7 +162,11 @@ def rasterize_depth(setup_padded: dict, bins: jax.Array, width: int, height: int
 
         zc = jnp.where(cov, z, jnp.inf)
         best = jnp.min(zc, axis=-1)                     # [NT, P]
-        bidx = jnp.argmin(zc, axis=-1)
+        # exact-depth ties: LATER bin slot wins (LESS_OR_EQUAL sequential
+        # semantics, matching the Pallas kernel and the Vulkan reference) —
+        # argmin returns the first min, so search the reversed chunk
+        nc = zc.shape[-1]
+        bidx = nc - 1 - jnp.argmin(zc[..., ::-1], axis=-1)
         bid = jnp.take_along_axis(ids, bidx, axis=-1)   # [NT, P]
         take = best <= zbuf
         zbuf = jnp.where(take, best, zbuf)

@@ -88,6 +88,9 @@ class TextureHeapBuilder:
                 mips = generate_mips(f)
         else:
             mips = [f]
+        # the descriptor table has MAX_MIPS slots; a >4096^2 texture's chain
+        # must be clamped or build() would index past offsets[t, MAX_MIPS-1]
+        mips = mips[:MAX_MIPS]
         self._textures.append(mips)
         self._srgb.append(bool(srgb))
         return len(self._textures) - 1
