@@ -15,6 +15,7 @@ too, .gitignore:3), else the procedural Sponza-class stand-in
 Full feature config: CSM shadows + skybox + tonemap, like BASELINE config 5.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -24,6 +25,11 @@ import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", action="store_true",
+                    help="print the per-pass ms breakdown (BASELINE.md "
+                         "tracked metric) to stderr")
+    args = ap.parse_args()
     from vk_renderer_tpu.utils import jaxcache
     jaxcache.enable()
 
@@ -44,6 +50,9 @@ def main():
         b.cubemap = procedural.make_sky_cubemap(256)
         scene_name = "sponza"
     else:
+        print(f"NOTE: {sponza_path} not found — falling back to the "
+              "procedural sponza_like stand-in (set VKR_SPONZA to bench "
+              "the real asset)", file=sys.stderr)
         b = procedural.build_sponza_like()
         scene_name = "sponza_like"
     scene = b.build().device_put()
@@ -58,6 +67,13 @@ def main():
     out = driver.render(scene, cam, settings, cfg)
     jax.block_until_ready(out["color"])
     stats = {k: int(v) for k, v in out["stats"].items()}
+
+    if args.passes:
+        from vk_renderer_tpu.graph import profiler
+        sd = driver.scene_data_pytree(cam, settings, cfg)
+        st = driver.make_settings_pytree(settings)
+        timings = profiler.profile_passes(scene, sd, st, cfg)
+        print(profiler.format_table(timings), file=sys.stderr)
 
     # timed frames with small camera motion (realistic per-frame host work)
     n_frames = 30
@@ -80,6 +96,7 @@ def main():
         "triangles": stats["triangles"],
         "drawcalls": stats["drawcalls"],
         "bin_overflow": stats["bin_overflow"],
+        "peel_overflow": stats["peel_overflow"],
         "backend": jax.default_backend(),
         "scene_triangles": int(scene.num_triangles),
     }), file=sys.stderr)

@@ -21,7 +21,7 @@ def small_cfg(**kw):
     base = dict(width=W, height=H, tile_w=128, tile_h=32, cap_opaque=128,
                 cap_masked=64, cap_transparent=64, raster_chunk=32,
                 masked_chunk=16, shadow_size=256, shadow_cap=256,
-                bin_chunk=1024)
+                )
     base.update(kw)
     return FrameConfig(**base)
 

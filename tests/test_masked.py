@@ -51,7 +51,7 @@ def test_cutout_reveals_wall():
     assert scene.n_masked == 2 and scene.n_opaque == 2
     cfg = FrameConfig(width=W, height=H, cap_opaque=64, cap_masked=64,
                       cap_transparent=64, raster_chunk=32, masked_chunk=8,
-                      shadow_size=256, shadow_cap=256, bin_chunk=1024,
+                      shadow_size=256, shadow_cap=256,
                       shading="flat", use_skybox=False)
     s = RenderSettings()
     s.sunlight_color = np.array([0, 0, 0, 1], np.float32)  # ambient only

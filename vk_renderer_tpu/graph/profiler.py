@@ -1,0 +1,233 @@
+"""Per-pass timing breakdown — the BASELINE.md tracked-metric table.
+
+The reference surfaces frametime/fps/triangles/drawcalls in its ImGui
+stats overlay (src/vk_engine_run.cpp:208-211); BASELINE.md additionally
+names "Per-pass ms (raster / PBR shade / shadow / tonemap)" as the
+tracked metric set.  This module times each render stage as a standalone
+jitted function (compile excluded, median of N timed runs) so perf work
+can see exactly where a frame goes.
+
+Stage boundaries mirror graph/frame.py's render_view/render_frame; the
+stage callables reuse the same ops entry points, so a pipeline change
+shows up here automatically (and loudly, if an interface drifts).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import binning, interp, post, raster, shade, skybox
+from ..ops import setup as rsetup
+from . import frame as F
+
+
+def _timed(fn, *args, iters: int = 5):
+    """Compile, then median wall time of ``iters`` dispatches (ms)."""
+    out = fn(*args)
+    jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return 1000.0 * times[len(times) // 2], out
+
+
+def profile_passes(scene, scene_data: dict, settings: dict,
+                   cfg: F.FrameConfig, iters: int = 5) -> dict:
+    """Return {stage_name: ms} for one frame's stages, in pass order.
+
+    Stages are timed standalone (each a separate jitted program over
+    device-resident inputs), so the sum can differ from the fused
+    full-frame time — both are reported (``full_frame`` key).
+    """
+    w, h = cfg.width, cfg.height
+    timings: dict[str, float] = {}
+    jcfg = {"static_argnames": ()}
+    del jcfg
+
+    # ---- stage: vertex transform + triangle setup (+ row tables)
+    def stage_setup(scene, sd):
+        planes = F._frustum_planes(sd["viewproj"])
+        visible = rsetup.cull_objects(scene.obj_world, scene.obj_bounds, planes)
+        tri_visible = jnp.take(visible, jnp.take(scene.vert_obj, scene.tris[0]))
+        world_pos, clip = rsetup.transform_vertices(
+            scene.positions, scene.vert_obj, scene.obj_world, sd["viewproj"])
+        world_nrm = rsetup.transform_normals(scene.normals, scene.vert_obj,
+                                             scene.obj_world)
+        st = rsetup.triangle_setup(clip, scene.tris, tri_visible, w, h,
+                                   cull=rsetup.CULL_BACK)
+        padded = raster.pad_setup(st)
+        zero_i = jnp.zeros((1,), jnp.int32)
+        tris_p = tuple(jnp.concatenate([t, zero_i]) for t in scene.tris)
+        tri_mat_p = jnp.concatenate([scene.tri_material, zero_i])
+        rows = interp.build_tri_rows(padded, tris_p, tri_mat_p)
+        vattr, vpos = F._build_vertex_rows(scene, world_pos, world_nrm)
+        return {"st": st, "padded": padded, "rows": rows, "vattr": vattr,
+                "vpos": vpos, "world_pos": world_pos,
+                "tri_visible": tri_visible}
+
+    ms, setup_out = _timed(jax.jit(stage_setup), scene, scene_data,
+                           iters=iters)
+    timings["setup"] = ms
+    st = setup_out["st"]
+    padded = setup_out["padded"]
+    rows, vattr, vpos = setup_out["rows"], setup_out["vattr"], setup_out["vpos"]
+
+    n_tris = scene.tris[0].shape[0]
+    n_om = scene.n_opaque + scene.n_masked
+    bounds = [(0, scene.n_opaque)]
+    caps = [cfg.cap_opaque]
+    rec_caps = [cfg.rec_opaque]
+    if scene.n_masked > 0:
+        bounds.append((scene.n_opaque, n_om))
+        caps.append(cfg.cap_masked)
+        rec_caps.append(cfg.rec_masked)
+    if scene.n_transparent > 0:
+        bounds.append((n_om, n_tris))
+        caps.append(cfg.cap_transparent)
+        rec_caps.append(cfg.rec_transparent)
+
+    # ---- stage: binning (all camera-view buckets, one sort)
+    def stage_bin(st):
+        return raster.plan_view_buckets(
+            st, tuple(bounds), w, h, cfg.tile_w, cfg.tile_h, tuple(caps),
+            tuple(rec_caps))
+
+    ms, plan_out = _timed(jax.jit(stage_bin), st, iters=iters)
+    timings["bin"] = ms
+    plan_out = list(plan_out)
+
+    # ---- stage: record build (per-bucket gather + tile fold; TPU path)
+    def stage_records(plans, padded, st):
+        return tuple(raster.prepare_records(p, padded, st["bbox"], w,
+                                            cfg.tile_w, cfg.tile_h)
+                     for p in plans)
+
+    ms, plan_out = _timed(jax.jit(stage_records), tuple(plan_out), padded,
+                          st, iters=iters)
+    timings["records"] = ms
+    plan_out = list(plan_out)
+    plan_o = plan_out.pop(0)
+
+    # ---- stage: opaque depth raster
+    def stage_raster(plan_o, padded):
+        return raster.rasterize_plan(plan_o, padded, w, h, n_tris,
+                                     tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                                     chunk=cfg.raster_chunk)
+
+    ms, (depth, tid) = _timed(jax.jit(stage_raster), plan_o, padded,
+                              iters=iters)
+    timings["raster_opaque"] = ms
+
+    # ---- stage: masked (alpha-cutoff) pass
+    if scene.n_masked > 0:
+        plan_m = plan_out.pop(0)
+
+        def stage_masked(scene, plan_m, padded, rows, vattr, depth, tid):
+            return F._masked_pass(scene, cfg, plan_m, padded, rows,
+                                  vattr, depth, tid)
+
+        ms, (depth, tid, _) = _timed(jax.jit(stage_masked), scene, plan_m,
+                                     padded, rows, vattr, depth, tid,
+                                     iters=iters)
+        timings["masked"] = ms
+
+    # ---- stage: G-buffer interpolation
+    def stage_gbuffer(scene, sd, tid, rows, vattr, vpos):
+        return F._build_gbuffer(scene, sd, tid, rows, vattr, vpos)
+
+    ms, gbuf = _timed(jax.jit(stage_gbuffer), scene, scene_data, tid, rows,
+                      vattr, vpos, iters=iters)
+    timings["gbuffer"] = ms
+
+    # ---- stage: shade (PBR or flat, incl. texture sampling + shadows)
+    shadow_maps = jnp.ones((F.NUM_CASCADES, 1, 1), jnp.float32)
+
+    def stage_shade(gbuf, scene, sd, shadow_maps):
+        shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
+        return shader(gbuf, scene, sd, shadow_maps, cfg.shadow_mode,
+                      cfg.enable_shadows)
+
+    if cfg.enable_shadows:
+        def stage_shadow(scene, world_pos, tri_visible, sd):
+            return F.render_shadow_maps(scene, world_pos, tri_visible,
+                                        sd["light_viewproj"], cfg)
+
+        ms, shadow_maps = _timed(jax.jit(stage_shadow), scene,
+                                 setup_out["world_pos"],
+                                 setup_out["tri_visible"], scene_data,
+                                 iters=iters)
+        timings["shadow"] = ms
+
+    ms, (rgb, _alpha) = _timed(jax.jit(stage_shade), gbuf, scene, scene_data,
+                               shadow_maps, iters=iters)
+    timings["shade"] = ms
+
+    # ---- stage: background + skybox compose
+    def stage_compose(rgb, tid, depth, sd, settings):
+        blend = (jnp.arange(h, dtype=jnp.float32) / h)[:, None]
+        covered = tid >= 0
+        color = []
+        for c in range(3):
+            bg_c = (settings["bg_top"][c] * (1.0 - blend)
+                    + settings["bg_bottom"][c] * blend) \
+                * settings["enable_background"]
+            color.append(jnp.where(covered, rgb[c], bg_c))
+        color = tuple(color)
+        if cfg.use_skybox and scene.cubemap is not None:
+            color = skybox.composite_skybox(color, depth, scene.cubemap,
+                                            sd["view"], sd["proj"])
+        return color
+
+    ms, color = _timed(jax.jit(stage_compose), rgb, tid, depth, scene_data,
+                       settings, iters=iters)
+    timings["compose"] = ms
+
+    # ---- stage: transparent additive pass
+    if scene.n_transparent > 0:
+        plan_t = plan_out.pop(0)
+
+        def stage_transparent(scene, sd, settings, plan_t, padded,
+                              rows, vattr, vpos, depth, shadow_maps, color):
+            return F._transparent_pass(scene, sd, settings, cfg, plan_t,
+                                       padded, rows, vattr, vpos,
+                                       depth, shadow_maps, color)
+
+        ms, (color, _) = _timed(jax.jit(stage_transparent), scene,
+                                scene_data, settings, plan_t, padded,
+                                rows, vattr, vpos, depth, shadow_maps, color,
+                                iters=iters)
+        timings["transparent"] = ms
+
+    # ---- stage: tonemap
+    def stage_tonemap(color):
+        return post.tonemap_xla(jnp.stack(color))
+
+    ms, _ = _timed(jax.jit(stage_tonemap), color, iters=iters)
+    timings["tonemap"] = ms
+
+    # ---- the real, fused full frame
+    def full(scene, sd, settings):
+        return F.render_frame(scene, sd, settings, cfg)
+
+    ms, _ = _timed(full, scene, scene_data, settings, iters=iters)
+    timings["full_frame"] = ms
+    return timings
+
+
+def format_table(timings: dict) -> str:
+    total = sum(v for k, v in timings.items() if k != "full_frame")
+    lines = ["per-pass ms (standalone jitted stages; fused frame differs):"]
+    for k, v in timings.items():
+        if k == "full_frame":
+            continue
+        lines.append(f"  {k:<14} {v:9.2f} ms")
+    lines.append(f"  {'stage sum':<14} {total:9.2f} ms")
+    lines.append(f"  {'full_frame':<14} {timings['full_frame']:9.2f} ms")
+    return "\n".join(lines)

@@ -5,16 +5,25 @@ gets a fixed-capacity list of overlapping triangle ids.  Overflow beyond
 the cap is *counted and surfaced* (SURVEY.md names silent bin overflow the
 scariest correctness trap) via the returned ``overflow`` scalar.
 
-Implementation is sort-based (TPU scatters are slow; sorts are fast):
-1. every triangle emits up to ``max_span`` (tile, tri) pairs from its tile
-   bbox; triangles spanning more tiles go to a small global "big list",
-2. stable-sort pairs by tile id (stability preserves ascending triangle
-   order == the reference's submission draw order,
-   vk_engine_run.cpp:284-311),
-3. per-tile offsets via searchsorted, bins via gather,
-4. the big list is appended to every tile's slots (these are the handful
-   of screen-filling triangles; their ordering relative to small ones only
-   matters for exact-depth ties).
+Implementation is sort-based (TPU scatters are slow; sorts are fast), and
+one sort serves every material bucket of a camera view (the reference
+draws opaque, alpha-masked and transparent objects from ONE culled list,
+vk_engine_run.cpp:449-458 — here they are contiguous triangle-id ranges of
+the same scene):
+
+1. every small triangle emits up to ``max_span`` (tile, tri) pairs from
+   its tile bbox, packed into ONE int32 key ``tile << ceil(log2 T) | tri``
+   (single-operand sorts are memory-bound; 4 B keys halve the traffic of
+   the (key, value) form and the tri id rides along for free),
+2. sort ascending: pairs group by tile, and within a tile by triangle id
+   == the reference's submission draw order,
+3. per-(tile, bucket) offsets via searchsorted — bucket ranges are static
+   tri-id intervals, so a bucket's slice of a tile's list is just two
+   binary searches; no per-bucket re-sort,
+4. triangles spanning more than ``max_span`` tiles go to a small global
+   per-bucket "big list" appended at the FRONT of every tile's slots
+   (screen-filling floors/walls; their ordering relative to small ones
+   only matters for exact-depth ties).
 
 Returns bins filled with ``T`` (sentinel, one past the last triangle) in
 empty slots — callers pad per-triangle arrays with a zero sentinel row.
@@ -30,24 +39,18 @@ import jax.numpy as jnp
 from .common import cdiv
 
 
-@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
-                                   "cap", "max_span", "big_cap"))
-def bin_triangles(bbox, valid: jax.Array, width: int, height: int,
-                  tile_w: int = 128, tile_h: int = 32, cap: int = 2048,
-                  max_span: int = 32, big_cap: int = 256, chunk: int = 0):
-    """bbox: (x0, y0, x1, y1) planar over T (a 2-D [T, 4] array is also
-    accepted).  Returns (bins i32[rows, cols, cap + big_cap],
-    counts i32[rows, cols], overflow i32).  ``chunk`` is accepted for API
-    compatibility (unused)."""
-    del chunk
-    if not isinstance(bbox, (tuple, list)):
-        bbox = [bbox[:, c] for c in range(4)]
+def _pair_sort(bbox, valid, width: int, height: int, tile_w: int,
+               tile_h: int, max_span: int):
+    """Shared core: pack (tile, tri) pairs into int32 keys and sort."""
     bx0, by0, bx1, by1 = bbox
     n_tris = bx0.shape[0]
     rows = cdiv(height, tile_h)
     cols = cdiv(width, tile_w)
     n_tiles = rows * cols
-    sentinel = n_tris
+
+    # packed key layout: tile in the high bits, triangle in the low bits
+    log2p = max(1, int(n_tris + 1).bit_length())
+    assert (n_tiles + 1) << log2p < 2**31, "tile/tri key exceeds int32"
 
     tx0 = jnp.clip(jnp.floor(bx0 / tile_w), 0, cols - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor(by0 / tile_h), 0, rows - 1).astype(jnp.int32)
@@ -60,46 +63,181 @@ def bin_triangles(bbox, valid: jax.Array, width: int, height: int,
     small = valid & (span <= max_span)
     big = valid & (span > max_span)
 
-    # ---- small triangles: pair enumeration + stable sort by tile
+    tri_ids = jnp.arange(n_tris, dtype=jnp.int32)
     k = jnp.arange(max_span, dtype=jnp.int32)[None, :]
     dx = k % nx[:, None]
     dy = k // nx[:, None]
     tile_id = (ty0[:, None] + dy) * cols + (tx0[:, None] + dx)
     pair_ok = small[:, None] & (k < span[:, None])
-    keys = jnp.where(pair_ok, tile_id, n_tiles).reshape(-1)
-    tris = jnp.broadcast_to(
-        jnp.arange(n_tris, dtype=jnp.int32)[:, None], (n_tris, max_span)
-    ).reshape(-1)
-    keys_s, tris_s = jax.lax.sort((keys, tris), num_keys=1, is_stable=True)
+    keys = jnp.where(pair_ok, (tile_id << log2p) | tri_ids[:, None],
+                     jnp.int32(n_tiles << log2p)).reshape(-1)
+    keys_s = jax.lax.sort(keys)
+    tris_s = keys_s & ((1 << log2p) - 1)
+    return keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles
 
-    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
-    offsets = jnp.searchsorted(keys_s, tile_range, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(keys_s, tile_range, side="right").astype(jnp.int32)
-    counts = ends - offsets
 
-    # ---- big triangles: packed global list, placed at the FRONT of every
-    # tile's slots so the dynamic chunk bound (ceil(max_counts/chunk))
-    # always covers them with no sentinel gaps
-    big_i = jnp.cumsum(big.astype(jnp.int32)) - 1
-    big_total = jnp.sum(big.astype(jnp.int32))
+def _bucket_big_list(big, tri_ids, lo, hi, big_cap, sentinel):
+    """Packed global list of this bucket's big (span > max_span) triangles."""
+    bigb = big & (tri_ids >= lo) & (tri_ids < hi)
+    big_i = jnp.cumsum(bigb.astype(jnp.int32)) - 1
+    big_total = jnp.sum(bigb.astype(jnp.int32))
     big_eff = jnp.minimum(big_total, big_cap)
     big_list = jnp.full((big_cap,), sentinel, jnp.int32)
-    big_pos = jnp.where(big & (big_i < big_cap), big_i, big_cap)
-    big_list = big_list.at[big_pos].set(
-        jnp.arange(n_tris, dtype=jnp.int32), mode="drop", unique_indices=True)
+    big_pos = jnp.where(bigb & (big_i < big_cap), big_i, big_cap)
+    big_list = big_list.at[big_pos].set(tri_ids, mode="drop",
+                                        unique_indices=True)
+    return big_list, big_eff, big_total
 
-    counts_small = jnp.minimum(counts, cap)
-    slot = jnp.arange(cap + big_cap, dtype=jnp.int32)[None, :]
-    is_big = slot < big_eff
-    small_slot = slot - big_eff
-    gather_idx = jnp.clip(offsets[:, None] + small_slot, 0, keys_s.shape[0] - 1)
-    small_ok = (small_slot >= 0) & (small_slot < counts_small[:, None])
-    bins = jnp.where(
-        is_big, big_list[jnp.clip(slot, 0, big_cap - 1)],
-        jnp.where(small_ok, tris_s[gather_idx], sentinel))
 
-    overflow = (jnp.sum(jnp.maximum(counts - cap, 0))
-                + jnp.maximum(big_total - big_cap, 0) * n_tiles)
-    counts_total = counts_small + big_eff
-    return (bins.reshape(rows, cols, cap + big_cap),
-            counts_total.reshape(rows, cols), overflow)
+@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
+                                   "bounds", "caps", "max_span", "big_cap"))
+def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
+                          height: int, tile_w: int = 128, tile_h: int = 32,
+                          caps=(2048,), max_span: int = 8,
+                          big_cap: int = 128):
+    """Bin all buckets of a view with ONE pair sort (dense-bins form).
+
+    bbox: (x0, y0, x1, y1) planar over T (a 2-D [T, 4] array is also
+    accepted).  ``bounds``: static tuple of (lo, hi) triangle-id ranges,
+    one per bucket (ranges are how the scene stores material passes —
+    SceneArrays tris are sorted [opaque | masked | transparent]).
+    ``caps``: per-bucket per-tile capacity.
+
+    Returns a tuple, one per bucket, of
+    (bins i32[rows, cols, cap + big_cap], counts i32[rows, cols],
+    overflow i32).
+    """
+    if not isinstance(bbox, (tuple, list)):
+        bbox = [bbox[:, c] for c in range(4)]
+    n_tris = bbox[0].shape[0]
+    sentinel = n_tris
+    keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles = _pair_sort(
+        tuple(bbox), valid, width, height, tile_w, tile_h, max_span)
+
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    out = []
+    for (lo, hi), cap in zip(bounds, caps):
+        offsets = jnp.searchsorted(
+            keys_s, (tile_range << log2p) + lo, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(
+            keys_s, (tile_range << log2p) + hi, side="left").astype(jnp.int32)
+        counts = ends - offsets
+
+        # big triangles are placed at the FRONT of every tile's slots so
+        # the dynamic chunk bound always covers them with no sentinel gaps
+        big_list, big_eff, big_total = _bucket_big_list(
+            big, tri_ids, lo, hi, big_cap, sentinel)
+
+        counts_small = jnp.minimum(counts, cap)
+        slot = jnp.arange(cap + big_cap, dtype=jnp.int32)[None, :]
+        is_big = slot < big_eff
+        small_slot = slot - big_eff
+        gather_idx = jnp.clip(offsets[:, None] + small_slot, 0,
+                              keys_s.shape[0] - 1)
+        small_ok = (small_slot >= 0) & (small_slot < counts_small[:, None])
+        bins = jnp.where(
+            is_big, big_list[jnp.clip(slot, 0, big_cap - 1)],
+            jnp.where(small_ok, tris_s[gather_idx], sentinel))
+
+        overflow = (jnp.sum(jnp.maximum(counts - cap, 0))
+                    + jnp.maximum(big_total - big_cap, 0) * n_tiles)
+        out.append((bins.reshape(rows, cols, cap + big_cap),
+                    (counts_small + big_eff).reshape(rows, cols), overflow))
+    return tuple(out)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
+                                   "bounds", "caps", "rec_caps", "chunk",
+                                   "max_span", "big_cap"))
+def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
+                       height: int, tile_w: int = 128, tile_h: int = 32,
+                       caps=(2048,), rec_caps=(4096,), chunk: int = 64,
+                       max_span: int = 8, big_cap: int = 128):
+    """Occupancy-packed per-bucket raster work lists (the TPU-path form).
+
+    Instead of a dense ``[n_tiles, cap]`` bin table (whose per-slot record
+    gather cost scales with n_tiles * cap regardless of occupancy — the
+    round-1 shadow pass built 285 MB of records per cascade this way),
+    each bucket's per-tile candidate lists are packed back-to-back into
+    ``rec_cap`` chunk-aligned records of ``chunk`` slots; the raster
+    kernel DMAs records ``rec_start[tile] + k``.  Total record-gather cost
+    now tracks actual bin occupancy, with ``rec_cap`` a static safety cap
+    (truncation is counted in ``overflow`` — never silent).
+
+    Returns per bucket a dict:
+      rec_tri   i32[rec_cap * chunk]  triangle id per slot (sentinel pad)
+      rec_tile  i32[rec_cap]          owning tile per record
+      rec_start i32[n_tiles]          first record of each tile
+      counts    i32[rows, cols]       per-tile candidate count (clamped)
+      overflow  i32                   dropped candidates (cap + rec_cap)
+    """
+    if not isinstance(bbox, (tuple, list)):
+        bbox = [bbox[:, c] for c in range(4)]
+    n_tris = bbox[0].shape[0]
+    sentinel = n_tris
+    keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles = _pair_sort(
+        tuple(bbox), valid, width, height, tile_w, tile_h, max_span)
+
+    tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
+    out = []
+    for (lo, hi), cap, rec_cap in zip(bounds, caps, rec_caps):
+        offsets = jnp.searchsorted(
+            keys_s, (tile_range << log2p) + lo, side="left").astype(jnp.int32)
+        ends = jnp.searchsorted(
+            keys_s, (tile_range << log2p) + hi, side="left").astype(jnp.int32)
+        counts = ends - offsets
+
+        big_list, big_eff, big_total = _bucket_big_list(
+            big, tri_ids, lo, hi, big_cap, sentinel)
+
+        counts_cap = jnp.minimum(counts, cap) + big_eff
+        nk = (counts_cap + chunk - 1) // chunk
+        rec_start = jnp.cumsum(nk) - nk              # exclusive prefix sum
+        # tiles whose record range spills past rec_cap are truncated
+        nk_fit = jnp.clip(jnp.minimum(nk, rec_cap - rec_start), 0, None)
+        counts_fit = jnp.minimum(counts_cap, nk_fit * chunk)
+
+        # per-record owning tile: rec_start is nondecreasing and empty
+        # tiles contribute no records, so the last tile starting <= r owns r
+        rec_idx = jnp.arange(rec_cap, dtype=jnp.int32)
+        rec_tile = (jnp.searchsorted(rec_start, rec_idx, side="right")
+                    .astype(jnp.int32) - 1)
+        rec_tile = jnp.clip(rec_tile, 0, n_tiles - 1)
+
+        # slot -> source triangle (big list first, then the sorted pairs)
+        slot_tile = jnp.repeat(rec_tile, chunk)
+        local = (jnp.arange(rec_cap * chunk, dtype=jnp.int32)
+                 - jnp.take(rec_start, slot_tile) * chunk)
+        in_range = local < jnp.take(counts_fit, slot_tile)
+        is_big = local < big_eff
+        src_small = jnp.take(offsets, slot_tile) + (local - big_eff)
+        tri = jnp.where(
+            in_range,
+            jnp.where(is_big,
+                      big_list[jnp.clip(local, 0, big_cap - 1)],
+                      tris_s[jnp.clip(src_small, 0, keys_s.shape[0] - 1)]),
+            sentinel)
+
+        overflow = (jnp.sum(jnp.maximum(counts - cap, 0))
+                    + jnp.maximum(big_total - big_cap, 0) * n_tiles
+                    + jnp.sum(counts_cap - counts_fit))
+        out.append({"rec_tri": tri, "rec_tile": rec_tile,
+                    "rec_start": rec_start.astype(jnp.int32),
+                    "counts": counts_fit.reshape(rows, cols),
+                    "overflow": overflow})
+    return tuple(out)
+
+
+def bin_triangles(bbox, valid: jax.Array, width: int, height: int,
+                  tile_w: int = 128, tile_h: int = 32, cap: int = 2048,
+                  max_span: int = 8, big_cap: int = 128, chunk: int = 0):
+    """Single-bucket form (shadow cascades, tests).  ``chunk`` is accepted
+    for API compatibility (unused)."""
+    del chunk
+    if not isinstance(bbox, (tuple, list)):
+        bbox = [bbox[:, c] for c in range(4)]
+    n_tris = bbox[0].shape[0]
+    (result,) = bin_triangles_buckets(
+        tuple(bbox), valid, ((0, n_tris),), width, height, tile_w=tile_w,
+        tile_h=tile_h, caps=(cap,), max_span=max_span, big_cap=big_cap)
+    return result

@@ -36,7 +36,8 @@ def rasterize_depth_auto(setup_padded: dict, bins: jax.Array, counts: jax.Array,
                          init_id: jax.Array | None = None,
                          floor_depth: jax.Array | None = None):
     """Backend dispatch: the Pallas kernel on TPU, the XLA reference
-    implementation elsewhere."""
+    implementation elsewhere.  (Dense-bins form; the frame graph uses the
+    occupancy-packed plan API below instead.)"""
     from .common import on_tpu
     if on_tpu():
         from .raster_pallas import rasterize_depth_pallas
@@ -48,6 +49,71 @@ def rasterize_depth_auto(setup_padded: dict, bins: jax.Array, counts: jax.Array,
                            tile_h=tile_h, chunk=chunk, init_depth=init_depth,
                            init_id=init_id, counts=counts,
                            floor_depth=floor_depth)
+
+
+# ---------------------------------------------------------------------------
+# Plan API: bin once per view, build records once, raster many times.
+# The peel loops (masked alpha-cutoff, additive transparent) re-raster the
+# same bins up to peels+1 times — a "plan" carries everything those rasters
+# share so the expensive parts (pair sort, record gather) happen once.
+# ---------------------------------------------------------------------------
+
+def plan_view_buckets(st: dict, bounds, width: int, height: int,
+                      tile_w: int, tile_h: int, caps, rec_caps,
+                      chunk: int = 64):
+    """Bin every bucket of a view with one pair sort; returns a tuple of
+    per-bucket plan dicts (occupancy-packed records on TPU, dense bins on
+    the XLA reference path).  ``rec_caps`` are static record-count safety
+    caps, auto-shrunk to the scene's worst-case pair count."""
+    from . import binning
+    from .common import on_tpu
+    if on_tpu():
+        n_tris = st["valid"].shape[0]
+        n_tiles = cdiv(width, tile_w) * cdiv(height, tile_h)
+        worst = cdiv(n_tris * 8, chunk) + n_tiles + 1   # max_span=8 pairs
+        rec_caps = tuple(min(rc, worst) for rc in rec_caps)
+        return binning.bin_buckets_packed(
+            st["bbox"], st["valid"], bounds, width, height, tile_w=tile_w,
+            tile_h=tile_h, caps=caps, rec_caps=rec_caps, chunk=chunk)
+    dense = binning.bin_triangles_buckets(
+        st["bbox"], st["valid"], bounds, width, height, tile_w=tile_w,
+        tile_h=tile_h, caps=caps)
+    return tuple({"bins": b, "counts": c, "overflow": o}
+                 for (b, c, o) in dense)
+
+
+def prepare_records(plan: dict, setup_padded: dict, bbox, width: int,
+                    tile_w: int, tile_h: int, chunk: int = 64) -> dict:
+    """Materialize the packed raster records for a plan (TPU path; no-op
+    on the dense path).  Call once, raster many."""
+    if "rec_tri" not in plan:
+        return plan
+    from .raster_pallas import build_records
+    plan = dict(plan)
+    plan["records"] = build_records(setup_padded, bbox, plan["rec_tri"],
+                                    plan["rec_tile"], cdiv(width, tile_w),
+                                    tile_w, tile_h, chunk)
+    return plan
+
+
+def rasterize_plan(plan: dict, setup_padded: dict, width: int, height: int,
+                   sentinel: int, tile_w: int = 128, tile_h: int = 32,
+                   chunk: int = 16,
+                   init_depth: jax.Array | None = None,
+                   init_id: jax.Array | None = None,
+                   floor_depth: jax.Array | None = None):
+    """Depth raster over a prepared plan.  ``chunk`` applies to the XLA
+    path only (the Pallas kernel's chunk is fixed by the record layout)."""
+    if "records" in plan:
+        from .raster_pallas import rasterize_depth_packed
+        return rasterize_depth_packed(
+            plan["records"], plan["rec_start"], plan["counts"], width,
+            height, sentinel, tile_w=tile_w, tile_h=tile_h,
+            init_depth=init_depth, init_id=init_id, floor_depth=floor_depth)
+    return rasterize_depth(setup_padded, plan["bins"], width, height,
+                           tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+                           init_depth=init_depth, init_id=init_id,
+                           counts=plan["counts"], floor_depth=floor_depth)
 
 
 def pad_setup(setup: dict) -> dict:

@@ -5,21 +5,30 @@ top-left fill, LESS_OR_EQUAL z, sentinel-id empties), tiled for the VPU:
 
 - grid = one program per framebuffer tile; the tile's depth/id live in
   VMEM for the whole program,
-- the tile's binned-triangle coefficient stream is DMA'd HBM -> SMEM in
-  double-buffered chunks, with the chunk loop bound **dynamically** by the
-  tile's bin occupancy (empty tiles cost ~nothing — essential: a 2048^2
-  shadow target has 1024 tiles and most hold few triangles),
-- per triangle, 14 scalar reads feed vector FMAs over the
-  (tile_h, tile_w) pixel registers; a sequential z-test reproduces the
-  reference's submission-order tie behavior exactly (later draw wins ties).
-
-Coefficients are refolded from anchor-relative to tile-local coordinates
-scalar-side (k = c + a*(tile_x0 - ax) + b*(tile_y0 - ay)), keeping the
-f32 edge evaluation conditioned on the tile scale (see ops/setup.py).
+- the tile's binned-triangle record stream is DMA'd HBM -> SMEM in
+  chunks from an OCCUPANCY-PACKED record array (``rec_start[tile]`` from
+  ops/binning.bin_buckets_packed): the chunk loop is bounded dynamically
+  by the tile's bin occupancy and empty tiles cost ~nothing,
+- per triangle, the records carry TILE-FOLDED plane coefficients
+  (k = c + a*(tile_x0 - ax) + b*(tile_y0 - ay), computed vectorized at
+  record-build time, keeping the f32 edge evaluation conditioned on the
+  tile scale — see ops/setup.py's anchor note) so the kernel's scalar
+  work per triangle is just the field reads + two unpacks,
+- the (tile_h, tile_w) tile is processed as tile_h/8 VPU-native (8, 128)
+  SUB-BLOCKS, each guarded by the triangle's row range (packed into one
+  record field): a small triangle touches 1-2 sub-blocks instead of
+  paying vector FMAs over the whole tile — the main win over round 1,
+- the top-left fill rule is folded into a per-edge scalar threshold:
+  ``covered = e > (-FLT_MIN if top-left else 0)`` — exact because TPU
+  flushes denormals, so no computed e lands in (-FLT_MIN, 0),
+- a sequential z-test reproduces the reference's submission-order tie
+  behavior exactly (later draw wins ties).
 
 ``floor_depth`` supports depth peeling (z > floor coverage), which the
 frame graph uses for both the alpha-cutoff bucket (peel -> dense planar
-alpha evaluation -> accept or re-peel) and the additive transparent pass.
+alpha evaluation -> accept or re-peel) and the additive transparent pass;
+the near-plane z >= 0 clip is folded into the same compare
+(z > max(floor, -FLT_MIN), again exact under flush-to-zero).
 """
 
 from __future__ import annotations
@@ -33,16 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .common import cdiv
 
-F_FIELDS = 16   # edge 9 | zlin 3 | anchor 2 | tri-id (f32) | pad
+F_FIELDS = 16   # a,b,k x3 edges | a,b,k z | tri*8+tl_bits | rowrange | pad x2
+MAX_TRI = 1 << 21          # tri*8 + tl bits must stay exact in f32 (< 2^24)
+_NEG_MIN_NORMAL = -1.1754943508222875e-38
 
 
-def _kernel(counts_ref, fdata_hbm, initd_ref, initi_ref, floor_ref,
-            outd_ref, outi_ref, *, chunk, tile_w, tile_h, cols, n_chunks,
+def _kernel(counts_ref, start_ref, fdata_hbm, initd_ref, initi_ref,
+            floor_ref, outd_ref, outi_ref, *, chunk, tile_w, tile_h,
             has_floor):
+    n_sub = tile_h // 8
     t = pl.program_id(0)
     count = counts_ref[t]
+    start = start_ref[t]
     nk = (count + chunk - 1) // chunk
-    rec = chunk * F_FIELDS
 
     outd_ref[:, :] = initd_ref[:, :]
     outi_ref[:, :] = initi_ref[:, :]
@@ -54,79 +66,224 @@ def _kernel(counts_ref, fdata_hbm, initd_ref, initi_ref, floor_ref,
                 # each chunk record is exactly one (8,128) f32 tile, so a
                 # leading-dim dynamic index is always tiling-aligned
                 # (1-D dynamic-offset HBM DMA silently misbehaves on Mosaic)
-                return pltpu.make_async_copy(
-                    fdata_hbm.at[t * n_chunks + k], fbuf, fsem)
+                return pltpu.make_async_copy(fdata_hbm.at[start + k],
+                                             fbuf, fsem)
 
             def rd(i):
                 return fbuf[i // 128, i % 128]
 
-            col = t % cols
-            row = t // cols
-            tx0 = (col * tile_w).astype(jnp.float32)
-            ty0 = (row * tile_h).astype(jnp.float32)
-            pxl = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)
+            pxl = (jax.lax.broadcasted_iota(jnp.int32, (8, tile_w), 1)
                    .astype(jnp.float32) + 0.5)
-            pyl = (jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)
+            py0 = (jax.lax.broadcasted_iota(jnp.int32, (8, tile_w), 0)
                    .astype(jnp.float32) + 0.5)
+            pyl = [py0 + (8.0 * sb) for sb in range(n_sub)]
+            mn = jnp.float32(_NEG_MIN_NORMAL)
 
             def loop(k, carry):
-                zb, ib = carry
                 d = fdma(k)
                 d.start()
                 d.wait()
 
                 for c in range(chunk):
                     base = c * F_FIELDS
-                    a0 = rd(base + 0); b0 = rd(base + 1)
-                    c0 = rd(base + 2)
-                    a1 = rd(base + 3); b1 = rd(base + 4)
-                    c1 = rd(base + 5)
-                    a2 = rd(base + 6); b2 = rd(base + 7)
-                    c2 = rd(base + 8)
-                    za = rd(base + 9); zbr = rd(base + 10)
-                    zc0 = rd(base + 11)
-                    ax = rd(base + 12); ay = rd(base + 13)
-                    tri = rd(base + 14).astype(jnp.int32)
+                    a0 = rd(base + 0); b0 = rd(base + 1); k0 = rd(base + 2)
+                    a1 = rd(base + 3); b1 = rd(base + 4); k1 = rd(base + 5)
+                    a2 = rd(base + 6); b2 = rd(base + 7); k2 = rd(base + 8)
+                    za = rd(base + 9); zb = rd(base + 10); kz = rd(base + 11)
+                    tb = rd(base + 12)
+                    rr = rd(base + 13)
 
-                    ox = tx0 - ax
-                    oy = ty0 - ay
-                    k0 = c0 + a0 * ox + b0 * oy
-                    k1 = c1 + a1 * ox + b1 * oy
-                    k2 = c2 + a2 * ox + b2 * oy
-                    kz = zc0 + za * ox + zbr * oy
+                    # unpack tri id + top-left bits; thresholds realize the
+                    # top-left rule as a single compare per edge
+                    trif = jnp.floor(tb * 0.125)
+                    bits = tb - 8.0 * trif
+                    tri = trif.astype(jnp.int32)
+                    hi2 = jnp.floor(bits * 0.25)
+                    rem = bits - 4.0 * hi2
+                    hi1 = jnp.floor(rem * 0.5)
+                    hi0 = rem - 2.0 * hi1
+                    th0 = jnp.where(hi0 > 0.5, mn, 0.0)
+                    th1 = jnp.where(hi1 > 0.5, mn, 0.0)
+                    th2 = jnp.where(hi2 > 0.5, mn, 0.0)
 
-                    e0 = a0 * pxl + b0 * pyl + k0
-                    e1 = a1 * pxl + b1 * pyl + k1
-                    e2 = a2 * pxl + b2 * pyl + k2
-                    z = za * pxl + zbr * pyl + kz
+                    # tile-relative covered row range [r0, r1)
+                    r0 = jnp.floor(rr * (1.0 / 256.0))
+                    r1 = rr - 256.0 * r0
 
-                    tl0 = (a0 > 0.0) | ((a0 == 0.0) & (b0 > 0.0))
-                    tl1 = (a1 > 0.0) | ((a1 == 0.0) & (b1 > 0.0))
-                    tl2 = (a2 > 0.0) | ((a2 == 0.0) & (b2 > 0.0))
-                    cov = ((e0 > 0.0) | ((e0 == 0.0) & tl0))
-                    cov &= ((e1 > 0.0) | ((e1 == 0.0) & tl1))
-                    cov &= ((e2 > 0.0) | ((e2 == 0.0) & tl2))
-                    cov &= (e0 + e1 + e2) > 0.0   # interpolated 1/w > 0
-                    cov &= z >= 0.0               # near depth clip
-                    if has_floor:                 # depth-peel floor
-                        cov &= z > floor_ref[:, :]
+                    for sb in range(n_sub):
+                        lo = float(8 * sb)
 
-                    zcand = jnp.where(cov, z, 2.0)
-                    take = zcand <= zb            # LEQUAL: later draw wins
-                    zb = jnp.where(take, zcand, zb)
-                    ib = jnp.where(take, tri, ib)
-                return zb, ib
+                        @pl.when((r1 > lo) & (r0 < lo + 8.0))
+                        def _(sb=sb):
+                            py = pyl[sb]
+                            e0 = a0 * pxl + b0 * py + k0
+                            e1 = a1 * pxl + b1 * py + k1
+                            e2 = a2 * pxl + b2 * py + k2
+                            z = za * pxl + zb * py + kz
+                            cov = (e0 > th0) & (e1 > th1) & (e2 > th2)
+                            cov &= (e0 + e1 + e2) > 0.0  # interp 1/w > 0
+                            if has_floor:   # peel floor (z>=0 pre-folded)
+                                cov &= z > floor_ref[8 * sb:8 * sb + 8, :]
+                            else:           # near clip z >= 0 (FTZ-exact)
+                                cov &= z > mn
+                            rows_ = slice(8 * sb, 8 * sb + 8)
+                            zbuf = outd_ref[rows_, :]
+                            ibuf = outi_ref[rows_, :]
+                            zc = jnp.where(cov, z, 2.0)
+                            take = zc <= zbuf   # LEQUAL: later draw wins
+                            outd_ref[rows_, :] = jnp.where(take, zc, zbuf)
+                            outi_ref[rows_, :] = jnp.where(take, tri, ibuf)
+                return carry
 
-            zb, ib = jax.lax.fori_loop(0, nk, loop,
-                                       (outd_ref[:, :], outi_ref[:, :]))
-            outd_ref[:, :] = zb
-            outi_ref[:, :] = ib
+            jax.lax.fori_loop(0, nk, loop, 0)
 
         pl.run_scoped(
             scoped,
             pltpu.SMEM(((chunk * F_FIELDS) // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         )
+
+
+def build_records(setup_padded: dict, bbox, rec_tri: jax.Array,
+                  rec_tile: jax.Array, cols: int, tile_w: int, tile_h: int,
+                  chunk: int = 64) -> jax.Array:
+    """Gather + tile-fold the per-slot triangle records.
+
+    One record build per (setup, bin) pair serves every raster over those
+    bins — peel iterations and overflow probes reuse it (round 1 re-ran
+    this gather inside every peel, the single largest frame cost).
+
+    setup_padded: planar setup with the zero sentinel row (raster.pad_setup)
+    bbox: the UNPADDED planar bbox from triangle_setup (y0/y1 used)
+    rec_tri/rec_tile: from binning.bin_buckets_packed
+    Returns f32[rec_cap, (chunk*F_FIELDS)//128, 128].
+    """
+    e = setup_padded["edge"]
+    zl = setup_padded["zlin"]
+    anc = setup_padded["anchor"]
+    f32 = jnp.float32
+    n_pad = e[0].shape[0]
+    assert n_pad - 1 <= MAX_TRI, "triangle id exceeds packed-field range"
+    zero = jnp.zeros((1,), f32)
+    by0 = jnp.concatenate([bbox[1], zero])
+    by1 = jnp.concatenate([bbox[3], zero])
+
+    # two row-gathers (width 8) instead of 16 element takes — XLA TPU
+    # gathers cost per index, not per byte, up to 8-wide rows
+    tbl_a = jnp.stack([e[0], e[1], e[2], e[3], e[4], e[5], e[6], e[7]],
+                      axis=-1)
+    tbl_b = jnp.stack([e[8], zl[0], zl[1], zl[2], anc[0], anc[1], by0, by1],
+                      axis=-1)
+    ga = tbl_a[rec_tri]          # [S, 8]
+    gb = tbl_b[rec_tri]
+
+    slot_tile = jnp.repeat(rec_tile, chunk)
+    ty0i = (slot_tile // cols) * tile_h
+    tx0 = ((slot_tile % cols) * tile_w).astype(f32)
+    ty0 = ty0i.astype(f32)
+
+    a0, b0, c0 = ga[:, 0], ga[:, 1], ga[:, 2]
+    a1, b1, c1 = ga[:, 3], ga[:, 4], ga[:, 5]
+    a2, b2 = ga[:, 6], ga[:, 7]
+    c2 = gb[:, 0]
+    za, zbp, zc = gb[:, 1], gb[:, 2], gb[:, 3]
+    ax, ay = gb[:, 4], gb[:, 5]
+    y0, y1 = gb[:, 6], gb[:, 7]
+
+    ox = tx0 - ax
+    oy = ty0 - ay
+    k0 = c0 + a0 * ox + b0 * oy
+    k1 = c1 + a1 * ox + b1 * oy
+    k2 = c2 + a2 * ox + b2 * oy
+    kz = zc + za * ox + zbp * oy
+
+    def tl(a, b):
+        return (a > 0.0) | ((a == 0.0) & (b > 0.0))
+
+    bits = (tl(a0, b0).astype(f32) + 2.0 * tl(a1, b1).astype(f32)
+            + 4.0 * tl(a2, b2).astype(f32))
+    f12 = rec_tri.astype(f32) * 8.0 + bits
+
+    r0 = jnp.clip(jnp.floor(y0).astype(jnp.int32) - ty0i, 0, tile_h)
+    r1 = jnp.clip(jnp.ceil(y1).astype(jnp.int32) - ty0i, 0, tile_h)
+    f13 = (r0 * 256 + r1).astype(f32)
+
+    pad = jnp.zeros_like(k0)
+    rec = jnp.stack([a0, b0, k0, a1, b1, k1, a2, b2, k2, za, zbp, kz,
+                     f12, f13, pad, pad], axis=-1)
+    return rec.reshape(-1, (chunk * F_FIELDS) // 128, 128)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_w",
+                                             "tile_h", "chunk", "sentinel"))
+def rasterize_depth_packed(records: jax.Array, rec_start: jax.Array,
+                           counts: jax.Array, width: int, height: int,
+                           sentinel: int, tile_w: int = 128,
+                           tile_h: int = 32, chunk: int = 64,
+                           init_depth: jax.Array | None = None,
+                           init_id: jax.Array | None = None,
+                           floor_depth: jax.Array | None = None):
+    """Raster over an occupancy-packed record stream.
+    Returns (depth f32[H, W], tri_id i32[H, W], -1 empty)."""
+    assert (chunk * F_FIELDS) % 1024 == 0, \
+        "chunk records must be whole (8,128) tiles (chunk multiple of 64)"
+    rows, cols = counts.shape
+    n_tiles = rows * cols
+
+    if init_depth is None:
+        initd = jnp.ones((n_tiles, tile_h, tile_w), jnp.float32)
+        initi = jnp.full((n_tiles, tile_h, tile_w), sentinel, jnp.int32)
+    else:
+        initd = _to_tiles(init_depth, rows, cols, tile_h, tile_w, 1.0)
+        initi = _to_tiles(jnp.where(init_id < 0, sentinel, init_id),
+                          rows, cols, tile_h, tile_w, sentinel)
+    has_floor = floor_depth is not None
+    if has_floor:
+        # fold the z >= 0 near clip into the peel floor (FTZ-exact)
+        floor_t = jnp.maximum(
+            _to_tiles(floor_depth, rows, cols, tile_h, tile_w, 2.0),
+            jnp.float32(_NEG_MIN_NORMAL))
+    else:
+        floor_t = jnp.zeros((1, tile_h, tile_w), jnp.float32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # records stay in HBM
+            pl.BlockSpec((None, tile_h, tile_w), lambda t, c, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tile_h, tile_w), lambda t, c, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tile_h, tile_w),
+                         (lambda t, c, s: (t, 0, 0)) if has_floor
+                         else (lambda t, c, s: (0, 0, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, tile_h, tile_w), lambda t, c, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, tile_h, tile_w), lambda t, c, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+    )
+    kernel = functools.partial(_kernel, chunk=chunk, tile_w=tile_w,
+                               tile_h=tile_h, has_floor=has_floor)
+    outd, outi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(counts.reshape(-1), rec_start, records, initd, initi, floor_t)
+
+    depth = _from_tiles(outd.reshape(rows, cols, tile_h, tile_w))
+    tri_id = _from_tiles(outi.reshape(rows, cols, tile_h, tile_w))
+    tri_id = jnp.where(tri_id == sentinel, -1, tri_id)
+    return depth[:height, :width], tri_id[:height, :width]
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_w",
@@ -137,85 +294,41 @@ def rasterize_depth_pallas(setup_padded: dict, bins: jax.Array,
                            chunk: int = 64,
                            init_depth: jax.Array | None = None,
                            init_id: jax.Array | None = None,
-                           floor_depth: jax.Array | None = None):
-    """Drop-in for raster.rasterize_depth.  ``floor_depth`` restricts
-    coverage to z > floor (the depth-peeling hook).
-    Returns (depth f32[H, W], tri_id i32[H, W], -1 empty)."""
-    planes = (list(setup_padded["edge"]) + list(setup_padded["zlin"])
-              + list(setup_padded["anchor"]))
+                           floor_depth: jax.Array | None = None,
+                           bbox=None):
+    """Dense-bins compatibility wrapper (tests, single-shot callers):
+    lays the [rows, cols, cap] bin table out as the packed-record special
+    case rec_start[t] = t * n_chunks and calls the packed kernel.
+    ``bbox``: optional planar bbox for the sub-block row guards; without
+    it every triangle is treated as covering all rows of its tile."""
+    planes = setup_padded["edge"]
     sentinel = planes[0].shape[0] - 1
-
-    assert (chunk * F_FIELDS) % 1024 == 0, \
-        "chunk records must be whole (8,128) tiles (chunk multiple of 64)"
     rows, cols, cap = bins.shape
     n_chunks = cdiv(cap, chunk)
     cap_pad = n_chunks * chunk
     n_tiles = rows * cols
 
-    # per-triangle record [T+1, 16] built from the planar setup; the
-    # slot's triangle id rides along as f32 (exact for id < 2^24)
-    pad_planes = [jnp.zeros_like(planes[0])] * (F_FIELDS - 14)
-    f = jnp.stack(planes + pad_planes, axis=-1)
-
     bins_f = bins.reshape(n_tiles, cap)
     if cap_pad != cap:
         bins_f = jnp.pad(bins_f, ((0, 0), (0, cap_pad - cap)),
                          constant_values=sentinel)
-    fdata = f[bins_f]
-    fdata = fdata.at[:, :, 14].set(bins_f.astype(jnp.float32))
-    rec_tiles = (chunk * F_FIELDS) // 1024
-    fdata = fdata.reshape(-1, rec_tiles * 8, 128)  # whole (8,128) tiles per record
+    rec_tri = bins_f.reshape(-1)
+    rec_tile = (jnp.arange(n_tiles * n_chunks, dtype=jnp.int32) // n_chunks)
+    rec_start = jnp.arange(n_tiles, dtype=jnp.int32) * n_chunks
 
-    if init_depth is None:
-        initd = jnp.ones((n_tiles, tile_h, tile_w), jnp.float32)
-        initi = jnp.full((n_tiles, tile_h, tile_w), sentinel, jnp.int32)
-    else:
-        initd = _to_tiles(init_depth, rows, cols, tile_h, tile_w, 1.0)
-        initi = _to_tiles(jnp.where(init_id < 0, sentinel, init_id),
-                          rows, cols, tile_h, tile_w, sentinel)
-    has_floor = floor_depth is not None
-    floor_t = (_to_tiles(floor_depth, rows, cols, tile_h, tile_w, 2.0)
-               if has_floor else jnp.zeros((1, tile_h, tile_w), jnp.float32))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # fdata stays in HBM
-            pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tile_h, tile_w),
-                         (lambda t, c: (t, 0, 0)) if has_floor
-                         else (lambda t, c: (0, 0, 0)),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, tile_h, tile_w), lambda t, c: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    kernel = functools.partial(_kernel, chunk=chunk, tile_w=tile_w,
-                               tile_h=tile_h, cols=cols, n_chunks=n_chunks,
-                               has_floor=has_floor)
-    outd, outi = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )(counts.reshape(-1), fdata, initd, initi, floor_t)
-
-    depth = _from_tiles(outd.reshape(rows, cols, tile_h, tile_w))
-    tri_id = _from_tiles(outi.reshape(rows, cols, tile_h, tile_w))
-    tri_id = jnp.where(tri_id == sentinel, -1, tri_id)
-    return depth[:height, :width], tri_id[:height, :width]
+    if bbox is None:
+        t = planes[0].shape[0] - 1
+        full = (jnp.zeros((t,), jnp.float32),
+                jnp.zeros((t,), jnp.float32),
+                jnp.full((t,), float(cols * 128), jnp.float32),
+                jnp.full((t,), float(rows * tile_h), jnp.float32))
+        bbox = full
+    records = build_records(setup_padded, bbox, rec_tri, rec_tile, cols,
+                            tile_w, tile_h, chunk)
+    return rasterize_depth_packed(records, rec_start, counts, width, height,
+                                  sentinel, tile_w=tile_w, tile_h=tile_h,
+                                  chunk=chunk, init_depth=init_depth,
+                                  init_id=init_id, floor_depth=floor_depth)
 
 
 def _from_tiles(x: jax.Array) -> jax.Array:

@@ -165,6 +165,11 @@ def sample_shadow_batch(shadow_maps: jax.Array, us: jax.Array, vs: jax.Array,
     flat = shadow_maps.reshape(-1)
     t00, t10 = gather_pairs(flat, base + y0c * size + x0c)
     t01, t11 = gather_pairs(flat, base + y1c * size + x0c)
+    # left border: x0 == -1 clamps to 0, so the pair reads (tex[y,0],
+    # tex[y,1]) — the valid x=0 sample is the pair's FIRST element
+    left = x0 < 0
+    t10 = jnp.where(left, t00, t10)
+    t11 = jnp.where(left, t01, t11)
     t00 = jnp.where(x0in & y0in, t00, 1.0)
     t10 = jnp.where(x1in & y0in, t10, 1.0)
     t01 = jnp.where(x0in & y1in, t01, 1.0)

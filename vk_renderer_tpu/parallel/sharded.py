@@ -63,7 +63,8 @@ def render_frame_sharded(scene, scene_data: dict, settings: dict,
              in_specs=(P(), P(), P()),
              out_specs={"color": P(None, "fb", None), "depth": P("fb", None),
                         "stats": {"triangles": P(), "drawcalls": P(),
-                                  "bin_overflow": P()}},
+                                  "bin_overflow": P(),
+                                  "peel_overflow": P()}},
              check_vma=False)
     def step(scene, sd, st):
         i = jax.lax.axis_index("fb")
