@@ -64,9 +64,10 @@ def main():
     cam.yaw = np.pi / 2  # look down the long axis
 
     # compile + warmup
+    from vk_renderer_tpu.graph.frame import stats_from_vec
     out = driver.render(scene, cam, settings, cfg)
     jax.block_until_ready(out["color"])
-    stats = {k: int(v) for k, v in out["stats"].items()}
+    stats = stats_from_vec(out["stats_vec"])  # ONE device->host transfer
 
     if args.passes:
         from vk_renderer_tpu.graph import profiler

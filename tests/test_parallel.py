@@ -27,7 +27,7 @@ def test_sharded_matches_single_chip(n_dev):
     scene = procedural.build_cube_scene().build().device_put()
     cam = Camera()
     settings = RenderSettings(enable_shadows=True, shadow_mode=0)
-    cfg = small_cfg(enable_shadows=True, shadow_mode=0)
+    cfg = small_cfg(enable_shadows=True)
     sd = driver.scene_data_pytree(cam, settings, cfg)
     st = driver.make_settings_pytree(settings)
 

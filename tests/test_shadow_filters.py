@@ -195,6 +195,36 @@ class TestCascadeSelection:
         got = self._factor_for(view_z, dists, layer_depths)
         np.testing.assert_allclose(got, want_shadowed, atol=1e-6)
 
+    def test_dynamic_matches_static(self):
+        """Traced shadow_mode/enable (the frame graph path) must equal the
+        static specialization for every mode."""
+        import jax
+        rng = np.random.default_rng(7)
+        h, w, n, size = 5, 6, 4, 32
+        smaps = jnp.asarray(
+            rng.uniform(0.1, 0.9, size=(n, size, size)).astype(np.float32))
+        wx = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32) * 10)
+        wy = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32) * 10)
+        wz = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32) * 10)
+        vz = jnp.asarray(rng.uniform(0.5, 80, size=(h, w)).astype(np.float32))
+        lvp = rng.normal(size=(n, 4, 4)).astype(np.float32) * 0.02
+        lvp[:, 3, 3] = 1.0
+        sd = {"cascade_distances": jnp.asarray([2.0, 8.0, 22.0, 100.0],
+                                               jnp.float32),
+              "light_viewproj": jnp.asarray(lvp)}
+        for mode in range(4):
+            want = shade.compute_shadow_factor(
+                smaps, wx, wy, wz, vz, sd, mode, True)
+            got = jax.jit(shade.compute_shadow_factor)(
+                smaps, wx, wy, wz, vz, sd,
+                jnp.float32(mode), jnp.float32(1.0))
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-6, err_msg=f"mode {mode}")
+        # enable=0 kills the factor
+        got = shade.compute_shadow_factor(
+            smaps, wx, wy, wz, vz, sd, jnp.float32(3), jnp.float32(0.0))
+        np.testing.assert_allclose(np.asarray(got), 0.0)
+
     def test_negative_view_z_uses_abs(self):
         dists = [2.0, 8.0, 22.0, 100.0]
         layer_depths = [0.3, 0.9, 0.3, 0.9]

@@ -21,17 +21,25 @@ import time
 import numpy as np
 
 
-def build_scene(name: str, gltf_path: str | None):
+def build_scene(name: str, gltf_path: str | None,
+                cubemap_path: str | None = None):
     from ..scene import procedural
+    cubemap = None
+    if cubemap_path:  # KTX1/KTX2 skybox (ref: load_cubemap, vk_loader.cpp:521)
+        from ..scene.ktx import load_cubemap
+        cubemap = load_cubemap(cubemap_path)
     if gltf_path:
         from ..scene.assembly import SceneBuilder
         b = SceneBuilder()
         b.load_gltf(gltf_path, name or "scene")
-        b.cubemap = procedural.make_sky_cubemap(256)
+        b.cubemap = (cubemap if cubemap is not None
+                     else procedural.make_sky_cubemap(256))
         return b.build()
-    if name == "cube":
-        return procedural.build_cube_scene().build()
-    return procedural.build_sponza_like().build()
+    b = (procedural.build_cube_scene() if name == "cube"
+         else procedural.build_sponza_like())
+    if cubemap is not None:
+        b.cubemap = cubemap
+    return b.build()
 
 
 def camera_path(i: int, n: int):
@@ -47,6 +55,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="sponza_like")
     ap.add_argument("--gltf", default=None, help="explicit glTF path")
+    ap.add_argument("--cubemap", default=None,
+                    help="KTX1/KTX2 cubemap file for the skybox")
     ap.add_argument("--frames", type=int, default=4)
     ap.add_argument("--width", type=int, default=1280)   # vk_engine.h:38
     ap.add_argument("--height", type=int, default=720)
@@ -65,7 +75,7 @@ def main(argv=None):
     from ..graph.scenedata import RenderSettings
     from ..utils.image import save_png
 
-    scene = build_scene(args.scene, args.gltf).device_put()
+    scene = build_scene(args.scene, args.gltf, args.cubemap).device_put()
     settings = RenderSettings(enable_shadows=args.shadows,
                               shadow_mode=args.mode,
                               enable_background=args.background,
@@ -75,7 +85,11 @@ def main(argv=None):
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 
-    # 500 ms-style rolling frametime (vk_engine_run.cpp:26-32)
+    # 500 ms-style rolling frametime (vk_engine_run.cpp:26-32).
+    # The timed region is render + fence only; stats ride back as ONE
+    # packed vector and PNGs transfer pre-quantized u8 (device->host over
+    # the TPU tunnel is ~0.5 MB/s — never pull the f32 framebuffer).
+    from ..graph.frame import stats_from_vec
     acc_t, acc_n = 0.0, 0
     for i in range(args.frames):
         cam = camera_path(i, args.frames)
@@ -86,7 +100,7 @@ def main(argv=None):
         if i > 0:  # skip compile frame
             acc_t += dt
             acc_n += 1
-        stats = {k: int(v) for k, v in out["stats"].items()}
+        stats = stats_from_vec(out["stats_vec"])
         print(json.dumps({
             "frame": i,
             "frametime_ms": round(dt * 1000, 3),
@@ -94,10 +108,11 @@ def main(argv=None):
             "triangles": stats["triangles"],
             "drawcalls": stats["drawcalls"],
             "bin_overflow": stats["bin_overflow"],
+            "peel_overflow": stats["peel_overflow"],
         }))
         if args.out:
             save_png(os.path.join(args.out, f"frame_{i:04d}.png"),
-                     np.asarray(out["color"]))
+                     np.asarray(out["color_u8"]))
     if acc_n:
         print(json.dumps({"avg_frametime_ms": round(1000 * acc_t / acc_n, 3),
                           "avg_fps": round(acc_n / acc_t, 1)}))

@@ -10,6 +10,10 @@ only GUI stack in this image); the key bindings map the reference's:
   1..4      shadow mode Hard/PCF/PCSS/CSM
   h         toggle shadows        b  toggle background
   p         toggle postprocess    q/ESC  quit
+  j/l i/k   sun azimuth / elevation (ImGui Scene Lighting panel analog)
+  - = [ ]   sunlight / ambient intensity
+
+Every key toggles a TRACED channel — nothing recompiles mid-session.
 
 Falls back with a clear message when no display is available.
 """
@@ -26,6 +30,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--scene", default="cube")
     ap.add_argument("--gltf", default=None)
+    ap.add_argument("--cubemap", default=None, help="KTX1/KTX2 skybox file")
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--height", type=int, default=720)
     args = ap.parse_args(argv)
@@ -39,10 +44,9 @@ def main(argv=None):
     from ..graph import driver
     from ..graph.scenedata import RenderSettings
     from ..scene.camera import Camera
-    from ..utils.image import to_u8
     from .headless import build_scene
 
-    scene = build_scene(args.scene, args.gltf).device_put()
+    scene = build_scene(args.scene, args.gltf, args.cubemap).device_put()
     settings = RenderSettings()
     cam = Camera()
     state = {"drag": None}
@@ -61,17 +65,28 @@ def main(argv=None):
     cv2.namedWindow(win)
     cv2.setMouseCallback(win, on_mouse)
 
+    # ONE static config for the whole session: the shadow subsystem is
+    # compiled in once (enable_shadows=True) and the h / 1-4 / b / p keys
+    # flip TRACED per-frame channels — no key ever triggers a re-jit
+    # (ref: instant ImGui toggles, vk_engine_run.cpp:213-230)
+    from dataclasses import replace
+    cfg = replace(driver.config_from_settings(settings, args.width,
+                                              args.height),
+                  enable_shadows=True)
+
     last = time.perf_counter()
     frametime_ms = 0.0
     while True:
-        cfg = driver.config_from_settings(settings, args.width, args.height)
         now = time.perf_counter()
         dt, last = now - last, now
         cam.update(dt)
         out = driver.render(scene, cam, settings, cfg)
-        img = to_u8(np.asarray(out["color"]))[:, :, ::-1]  # RGB->BGR
+        # device-quantized u8 + one packed stats transfer (f32 readback and
+        # per-scalar stat pulls are ~100x slower over the TPU tunnel)
+        img = np.asarray(out["color_u8"])[:, :, ::-1]  # RGB->BGR
         frametime_ms = 0.9 * frametime_ms + 0.1 * dt * 1000
-        stats = {k: int(v) for k, v in out["stats"].items()}
+        from ..graph.frame import stats_from_vec
+        stats = stats_from_vec(out["stats_vec"])
         hud = (f"{frametime_ms:.1f} ms  tris {stats['triangles']}  "
                f"draws {stats['drawcalls']}  "
                f"shadows {'on' if settings.enable_shadows else 'off'}"
@@ -94,6 +109,25 @@ def main(argv=None):
             settings.enable_postprocess = not settings.enable_postprocess
         elif key in (ord("1"), ord("2"), ord("3"), ord("4")):
             settings.shadow_mode = key - ord("1")
+        # light editing (the ImGui Scene Lighting panel,
+        # vk_engine_run.cpp:212-216) — all traced, never recompiles
+        elif key in (ord("j"), ord("l")):          # rotate sun azimuth
+            a = 0.1 if key == ord("l") else -0.1
+            c, s_ = np.cos(a), np.sin(a)
+            d = settings.sunlight_direction
+            d[0], d[2] = c * d[0] - s_ * d[2], s_ * d[0] + c * d[2]
+        elif key in (ord("i"), ord("k")):          # raise/lower sun
+            settings.sunlight_direction[1] = float(np.clip(
+                settings.sunlight_direction[1]
+                + (-0.1 if key == ord("i") else 0.1), -2.0, 2.0))
+        elif key in (ord("-"), ord("=")):          # sunlight intensity
+            f = 1.25 if key == ord("=") else 0.8
+            settings.sunlight_color[:3] = np.clip(
+                settings.sunlight_color[:3] * f, 0.0, 16.0)
+        elif key in (ord("["), ord("]")):          # ambient intensity
+            f = 1.25 if key == ord("]") else 0.8
+            settings.ambient_color[:3] = np.clip(
+                settings.ambient_color[:3] * f, 0.0, 4.0)
     cv2.destroyAllWindows()
 
 

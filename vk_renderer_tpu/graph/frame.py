@@ -17,6 +17,7 @@ or lighting changes never recompile.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from functools import partial
 
@@ -30,6 +31,14 @@ from ..ops.common import cdiv
 from ..ops.common import einsum as common_einsum
 
 NUM_CASCADES = 4
+
+# C19 postprocess registry: name -> (f32[3, H, W] -> f32[3, H, W]).
+# Register extra passes (e.g. vignette, FXAA) here and list them in
+# FrameConfig.post_chain; the reference's only registered pass is tonemap
+# (vk_engine_init.cpp:596).
+POSTPROCESS_REGISTRY = {
+    "tonemap": lambda img: post.tonemap_xla(img),
+}
 
 
 @dataclass(frozen=True)
@@ -52,11 +61,56 @@ class FrameConfig:
     rec_transparent: int = 2048
     rec_shadow: int = 8192
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
+    # compiles the shadow SUBSYSTEM in (pipelines-at-init analog); the
+    # per-frame on/off and filter mode are TRACED scene_data channels
     enable_shadows: bool = False     # vk_engine.h:116 default off
-    shadow_mode: int = 0             # 0 Hard 1 PCF 2 PCSS 3 CSM
     shadow_size: int = 2048          # vk_engine.h:107
     shadow_cap: int = 4096
     use_skybox: bool = True
+    # registered postprocess chain (C19; vk_engine_init.cpp:554-596 keeps a
+    # vector of passes ping-ponged over two images — here each entry maps a
+    # [3, H, W] image to the next, resolved via POSTPROCESS_REGISTRY)
+    post_chain: tuple = ("tonemap",)
+
+
+# Per-frame host state (GPUSceneData + toggles) rides to the device as ONE
+# packed f32 vector instead of 13 separate small arrays — one host->device
+# transfer and one executable parameter per frame (transfers through the
+# tunneled-TPU transport have per-call overhead).  Order must match
+# driver.pack_frame_vec.
+FRAME_VEC_SPEC = (
+    ("view", (4, 4)), ("proj", (4, 4)), ("viewproj", (4, 4)),
+    ("cam_pos", (3,)), ("light_viewproj", (NUM_CASCADES, 4, 4)),
+    ("cascade_distances", (4,)), ("ambient_color", (4,)),
+    ("sunlight_direction", (4,)), ("sunlight_color", (4,)),
+    ("enable_background", ()), ("enable_postprocess", ()),
+    ("bg_top", (4,)), ("bg_bottom", (4,)),
+)
+FRAME_VEC_LEN = sum(math.prod(s) if s else 1 for _, s in FRAME_VEC_SPEC)
+_SETTINGS_KEYS = ("enable_background", "enable_postprocess", "bg_top",
+                  "bg_bottom")
+
+
+def unpack_frame_vec(vec: jax.Array) -> tuple[dict, dict]:
+    """Packed f32[FRAME_VEC_LEN] -> (scene_data dict, settings dict)."""
+    sd, st = {}, {}
+    i = 0
+    for name, shape in FRAME_VEC_SPEC:
+        n = 1
+        for d in shape:
+            n *= d
+        val = vec[i:i + n].reshape(shape) if shape else vec[i]
+        (st if name in _SETTINGS_KEYS else sd)[name] = val
+        i += n
+    return sd, st
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def render_frame_packed(scene, frame_vec: jax.Array, cfg: FrameConfig):
+    """render_frame with all per-frame host state in one packed vector
+    (one host->device transfer per frame; see FRAME_VEC_SPEC)."""
+    sd, st = unpack_frame_vec(frame_vec)
+    return render_frame(scene, sd, st, cfg)
 
 
 def _frustum_planes(viewproj: jax.Array) -> jax.Array:
@@ -131,7 +185,11 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
     ``out_h`` — the multi-chip sharding path)."""
     s = cfg.shadow_size
     out_h = s if out_h is None else out_h
-    n_active = 1 if cfg.shadow_mode < 3 else NUM_CASCADES
+    # all NUM_CASCADES maps are always rastered: the shadow MODE is a
+    # traced runtime toggle (no recompile on the viewer's 1-4 keys), and
+    # for modes < 3 the host puts the single-light matrix at layer 0
+    # (scenedata.py:128-130) which is the only layer those filters read
+    n_active = NUM_CASCADES
     n_tris = scene.tris[0].shape[0]
     wx, wy, wz = world_pos
 
@@ -154,12 +212,8 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
     # UNROLLED over cascades (a lax.scan body serializes the setup/bin
     # gathers against the carry — the round-1 shadow pass cost ~2x its
     # standalone ingredients; straight-line cascades also let XLA overlap)
-    active = jnp.stack([one_cascade(light_viewproj[i])
-                        for i in range(n_active)])
-    if n_active < NUM_CASCADES:
-        active = jnp.concatenate(
-            [active, jnp.ones((NUM_CASCADES - n_active, out_h, s), jnp.float32)])
-    return active
+    return jnp.stack([one_cascade(light_viewproj[i])
+                      for i in range(n_active)])
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -170,6 +224,12 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
      enable_postprocess f32}.
 
     Returns dict: color f32[3, H, W], depth f32[H, W], stats.
+
+    ``cfg.enable_shadows`` statically compiles the shadow SUBSYSTEM in
+    (the analog of creating the shadow pipelines at init); whether shading
+    applies shadows and with which filter are traced per-frame toggles
+    riding the reference's own UBO flag channels (sunlightColor.w /
+    sunlightDirection.w), so the viewer's h / 1-4 keys never recompile.
     """
     if cfg.enable_shadows:
         planes = _frustum_planes(scene_data["viewproj"])
@@ -259,10 +319,15 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     # ---- G-buffer interpolation (fixed-function varyings, SURVEY F3)
     gbuf = _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos)
 
-    # ---- shading (planar channels)
+    # ---- shading (planar channels); shadow mode/enable are TRACED
+    # (sunlightDirection.w / sunlightColor.w — the reference's UBO flag
+    # packing, scenedata.py:132-135), so toggling never recompiles
     shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
+    shadow_mode_t = scene_data["sunlight_direction"][3]
+    enable_shadows_t = (scene_data["sunlight_color"][3]
+                        if cfg.enable_shadows else False)
     rgb, _alpha = shader(gbuf, scene, scene_data, shadow_maps,
-                         cfg.shadow_mode, cfg.enable_shadows)
+                         shadow_mode_t, enable_shadows_t)
 
     # ---- compose onto background (clear (0,0,0) or gradient;
     #      vk_engine_run.cpp:246-248)
@@ -292,16 +357,44 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                                           vpos, depth, shadow_maps, color)
         peel_overflow = peel_overflow + peel_t
 
-    # ---- tonemap postprocess (tonemap.comp), then pack planar -> [3, H, W]
+    # ---- postprocess chain (registered-pass vector with functional
+    # ping-pong, vk_engine_init.cpp:554-596; the reference registers only
+    # tonemap), then pack planar -> [3, H, W]
     color = jnp.stack(color)
-    toned = post.tonemap_xla(color)
-    color = jnp.where(settings["enable_postprocess"] > 0.5, toned, color)
+    processed = color
+    for pass_name in cfg.post_chain:
+        processed = POSTPROCESS_REGISTRY[pass_name](processed)
+    color = jnp.where(settings["enable_postprocess"] > 0.5, processed, color)
 
     return {"color": color, "depth": depth,
             "stats": {"triangles": stats_triangles,
                       "drawcalls": stats_drawcalls,
                       "bin_overflow": overflow,
-                      "peel_overflow": peel_overflow}}
+                      "peel_overflow": peel_overflow},
+            # apps fetch THIS with one np.asarray: one device->host pull
+            # instead of four (each pull is a blocking round trip through
+            # the TPU tunnel)
+            "stats_vec": jnp.stack([stats_triangles, stats_drawcalls,
+                                    overflow, peel_overflow]),
+            "color_u8": _to_u8_device(color)}
+
+
+STATS_KEYS = ("triangles", "drawcalls", "bin_overflow", "peel_overflow")
+
+
+def stats_from_vec(vec) -> dict:
+    """One-transfer host fetch of the frame stats."""
+    import numpy as np
+    v = np.asarray(vec)
+    return {k: int(v[i]) for i, k in enumerate(STATS_KEYS)}
+
+
+def _to_u8_device(color: jax.Array) -> jax.Array:
+    """Swapchain blit analog ON DEVICE: f32[3, H, W] -> u8[H, W, 3].
+    Readback over the TPU tunnel runs ~0.5 MB/s, so apps must transfer the
+    quantized image (4x smaller), never the f32 framebuffer."""
+    q = jnp.clip(color, 0.0, 1.0) * 255.0 + 0.5
+    return q.astype(jnp.uint8).transpose(1, 2, 0)
 
 
 def _build_vertex_rows(scene, world_pos, world_nrm):
@@ -363,7 +456,9 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
             init_depth=opaque_depth, init_id=no_id, floor_depth=floor)
         gbuf = _build_gbuffer(scene, scene_data, tidt, rows, vattr, vpos)
         rgb, alpha = shader(gbuf, scene, scene_data, shadow_maps,
-                            cfg.shadow_mode, cfg.enable_shadows)
+                            scene_data["sunlight_direction"][3],
+                            (scene_data["sunlight_color"][3]
+                             if cfg.enable_shadows else False))
         contrib = (tidt >= 0) & (alpha >= 0.5)          # discard still applies
         color = tuple(c + jnp.where(contrib, rc, 0.0)
                       for c, rc in zip(color, rgb))

@@ -24,8 +24,25 @@ from ..ops import setup as rsetup
 from . import frame as F
 
 
+_synced = False
+
+
+def _force_honest_mode():
+    """One tiny device->host pull.  Through the tunneled-TPU transport,
+    ``block_until_ready`` returns on dispatch-ack (timings are fiction)
+    until the process's FIRST real pull switches dispatch to synchronous —
+    after which timings are honest (~27 ms tunnel overhead per dispatch).
+    Must run before any measurement."""
+    global _synced
+    if not _synced:
+        import numpy as np
+        np.asarray(jnp.zeros(()) + 1.0)
+        _synced = True
+
+
 def _timed(fn, *args, iters: int = 5):
     """Compile, then median wall time of ``iters`` dispatches (ms)."""
+    _force_honest_mode()
     out = fn(*args)
     jax.block_until_ready(out)
     times = []
@@ -151,8 +168,10 @@ def profile_passes(scene, scene_data: dict, settings: dict,
 
     def stage_shade(gbuf, scene, sd, shadow_maps):
         shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
-        return shader(gbuf, scene, sd, shadow_maps, cfg.shadow_mode,
-                      cfg.enable_shadows)
+        return shader(gbuf, scene, sd, shadow_maps,
+                      sd["sunlight_direction"][3],
+                      (sd["sunlight_color"][3] if cfg.enable_shadows
+                       else False))
 
     if cfg.enable_shadows:
         def stage_shadow(scene, world_pos, tri_visible, sd):
@@ -170,7 +189,9 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     timings["shade"] = ms
 
     # ---- stage: background + skybox compose
-    def stage_compose(rgb, tid, depth, sd, settings):
+    # (cubemap passed as an argument — closed-over device arrays embed as
+    # multi-MB HLO constants, bloating the executable)
+    def stage_compose(rgb, tid, depth, cubemap, sd, settings):
         blend = (jnp.arange(h, dtype=jnp.float32) / h)[:, None]
         covered = tid >= 0
         color = []
@@ -180,13 +201,13 @@ def profile_passes(scene, scene_data: dict, settings: dict,
                 * settings["enable_background"]
             color.append(jnp.where(covered, rgb[c], bg_c))
         color = tuple(color)
-        if cfg.use_skybox and scene.cubemap is not None:
-            color = skybox.composite_skybox(color, depth, scene.cubemap,
+        if cfg.use_skybox and cubemap is not None:
+            color = skybox.composite_skybox(color, depth, cubemap,
                                             sd["view"], sd["proj"])
         return color
 
-    ms, color = _timed(jax.jit(stage_compose), rgb, tid, depth, scene_data,
-                       settings, iters=iters)
+    ms, color = _timed(jax.jit(stage_compose), rgb, tid, depth,
+                       scene.cubemap, scene_data, settings, iters=iters)
     timings["compose"] = ms
 
     # ---- stage: transparent additive pass

@@ -93,8 +93,8 @@ def _bucket_big_list(big, tri_ids, lo, hi, big_cap, sentinel):
                                    "bounds", "caps", "max_span", "big_cap"))
 def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
                           height: int, tile_w: int = 128, tile_h: int = 32,
-                          caps=(2048,), max_span: int = 8,
-                          big_cap: int = 128):
+                          caps=(2048,), max_span: int = 16,
+                          big_cap: int = 512):
     """Bin all buckets of a view with ONE pair sort (dense-bins form).
 
     bbox: (x0, y0, x1, y1) planar over T (a 2-D [T, 4] array is also
@@ -152,7 +152,7 @@ def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
 def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
                        height: int, tile_w: int = 128, tile_h: int = 32,
                        caps=(2048,), rec_caps=(4096,), chunk: int = 64,
-                       max_span: int = 8, big_cap: int = 128):
+                       max_span: int = 16, big_cap: int = 512):
     """Occupancy-packed per-bucket raster work lists (the TPU-path form).
 
     Instead of a dense ``[n_tiles, cap]`` bin table (whose per-slot record
@@ -230,7 +230,7 @@ def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
 
 def bin_triangles(bbox, valid: jax.Array, width: int, height: int,
                   tile_w: int = 128, tile_h: int = 32, cap: int = 2048,
-                  max_span: int = 8, big_cap: int = 128, chunk: int = 0):
+                  max_span: int = 16, big_cap: int = 512, chunk: int = 0):
     """Single-bucket form (shadow cascades, tests).  ``chunk`` is accepted
     for API compatibility (unused)."""
     del chunk

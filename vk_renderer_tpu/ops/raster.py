@@ -60,7 +60,8 @@ def rasterize_depth_auto(setup_padded: dict, bins: jax.Array, counts: jax.Array,
 
 def plan_view_buckets(st: dict, bounds, width: int, height: int,
                       tile_w: int, tile_h: int, caps, rec_caps,
-                      chunk: int = 64):
+                      chunk: int = 64, max_span: int = 16,
+                      big_cap: int = 512):
     """Bin every bucket of a view with one pair sort; returns a tuple of
     per-bucket plan dicts (occupancy-packed records on TPU, dense bins on
     the XLA reference path).  ``rec_caps`` are static record-count safety
@@ -70,11 +71,15 @@ def plan_view_buckets(st: dict, bounds, width: int, height: int,
     if on_tpu():
         n_tris = st["valid"].shape[0]
         n_tiles = cdiv(width, tile_w) * cdiv(height, tile_h)
-        worst = cdiv(n_tris * 8, chunk) + n_tiles + 1   # max_span=8 pairs
+        # worst case: every pair lands in a distinct partial chunk, plus
+        # every tile carries the full big list (chunk-rounded)
+        worst = (cdiv(n_tris * max_span, chunk)
+                 + n_tiles * (1 + cdiv(big_cap, chunk)) + 1)
         rec_caps = tuple(min(rc, worst) for rc in rec_caps)
         return binning.bin_buckets_packed(
             st["bbox"], st["valid"], bounds, width, height, tile_w=tile_w,
-            tile_h=tile_h, caps=caps, rec_caps=rec_caps, chunk=chunk)
+            tile_h=tile_h, caps=caps, rec_caps=rec_caps, chunk=chunk,
+            max_span=max_span, big_cap=big_cap)
     dense = binning.bin_triangles_buckets(
         st["bbox"], st["valid"], bounds, width, height, tile_w=tile_w,
         tile_h=tile_h, caps=caps)

@@ -91,11 +91,18 @@ def _shadow_pcss(shadow_maps, su, sv, sz, layer):
 
 
 def compute_shadow_factor(shadow_maps, wx, wy, wz, view_z, scene_data,
-                          shadow_mode: int, enable_shadows: bool):
-    """calcShadow (mesh_pbr.frag:127-156).  shadow_mode/enable static.
-    World position and view-space z arrive planar."""
-    if not enable_shadows:
+                          shadow_mode, enable_shadows):
+    """calcShadow (mesh_pbr.frag:127-156).  World position and view-space z
+    arrive planar.
+
+    ``shadow_mode``/``enable_shadows`` may be Python statics (tests, the
+    profiler's per-mode stages) or traced scalars (the frame graph passes
+    the reference's own UBO flag channels — sunlightDirection.w carries the
+    mode and sunlightColor.w the enable bit, scenedata.py:132-135 — so the
+    viewer's ImGui-equivalent toggles never recompile, VERDICT r1 #8)."""
+    if enable_shadows is False:      # statically compiled out
         return jnp.zeros_like(view_z)
+    static = isinstance(shadow_mode, int) and isinstance(enable_shadows, bool)
 
     # cascade selection: first i with |viewZ| < cascadeDistances[i]
     view_depth = jnp.abs(view_z)
@@ -104,8 +111,11 @@ def compute_shadow_factor(shadow_maps, wx, wy, wz, view_z, scene_data,
     layer = jnp.full(view_depth.shape, n - 1, jnp.int32)
     for i in range(n - 1, -1, -1):
         layer = jnp.where(view_depth < dists[i], i, layer)
-    if shadow_mode < 3:
-        layer = jnp.zeros_like(layer)
+    if static:
+        if shadow_mode < 3:
+            layer = jnp.zeros_like(layer)
+    else:
+        layer = jnp.where(shadow_mode >= 3, layer, 0)
 
     # shadowCoord = biasMat @ lightViewproj[layer] @ fragWorld, computed per
     # cascade with CONSTANT matrices then selected by layer (tiny-table
@@ -119,7 +129,7 @@ def compute_shadow_factor(shadow_maps, wx, wy, wz, view_z, scene_data,
         return x * 0.5 + w * 0.5, y * 0.5 + w * 0.5, z
 
     su, sv, sz = coord_for(lvps[0])
-    if shadow_mode >= 3:
+    if (not static) or shadow_mode >= 3:
         for i in range(1, lvps.shape[0]):
             ui, vi, zi = coord_for(lvps[i])
             sel = layer == i
@@ -127,11 +137,24 @@ def compute_shadow_factor(shadow_maps, wx, wy, wz, view_z, scene_data,
             sv = jnp.where(sel, vi, sv)
             sz = jnp.where(sel, zi, sz)
 
-    if shadow_mode == 0:
-        return _shadow_hard(shadow_maps, su, sv, sz, layer)
-    if shadow_mode == 1:
-        return _shadow_pcf(shadow_maps, su, sv, sz, layer)
-    return _shadow_pcss(shadow_maps, su, sv, sz, layer)  # PCSS and CSM
+    if static:
+        if shadow_mode == 0:
+            return _shadow_hard(shadow_maps, su, sv, sz, layer)
+        if shadow_mode == 1:
+            return _shadow_pcf(shadow_maps, su, sv, sz, layer)
+        return _shadow_pcss(shadow_maps, su, sv, sz, layer)  # PCSS and CSM
+
+    # dynamic: one filter executes per dispatch (lax.switch); PCSS serves
+    # modes 2 and 3 (they differ only in the cascade selection above)
+    idx = jnp.clip(jnp.asarray(shadow_mode).astype(jnp.int32), 0, 2)
+    factor = jax.lax.switch(
+        idx,
+        [lambda a: _shadow_hard(*a), lambda a: _shadow_pcf(*a),
+         lambda a: _shadow_pcss(*a)],
+        (shadow_maps, su, sv, sz, layer))
+    if isinstance(enable_shadows, bool):   # statically always-on
+        return factor
+    return factor * jnp.asarray(enable_shadows).astype(jnp.float32)
 
 
 # ----------------------------------------------------------------------------

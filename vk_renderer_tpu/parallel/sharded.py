@@ -64,7 +64,8 @@ def render_frame_sharded(scene, scene_data: dict, settings: dict,
              out_specs={"color": P(None, "fb", None), "depth": P("fb", None),
                         "stats": {"triangles": P(), "drawcalls": P(),
                                   "bin_overflow": P(),
-                                  "peel_overflow": P()}},
+                                  "peel_overflow": P()},
+                        "stats_vec": P(), "color_u8": P("fb", None, None)},
              check_vma=False)
     def step(scene, sd, st):
         i = jax.lax.axis_index("fb")
@@ -98,7 +99,9 @@ def render_frame_sharded(scene, scene_data: dict, settings: dict,
                                    shadow_maps, y_offset=y0,
                                    full_height=cfg.height)
         stats = {k: jax.lax.psum(v, "fb") for k, v in out["stats"].items()}
-        return {"color": out["color"], "depth": out["depth"], "stats": stats}
+        return {"color": out["color"], "depth": out["depth"], "stats": stats,
+                "stats_vec": jax.lax.psum(out["stats_vec"], "fb"),
+                "color_u8": out["color_u8"]}
 
     with mesh:
         return jax.jit(step)(scene, scene_data, settings)

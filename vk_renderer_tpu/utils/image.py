@@ -20,9 +20,14 @@ def to_u8(color_chw: np.ndarray) -> np.ndarray:
     return (img * 255.0 + 0.5).astype(np.uint8)
 
 
-def save_png(path: str, color_chw: np.ndarray) -> None:
+def save_png(path: str, img: np.ndarray) -> None:
+    """Accepts f32[3, H, W] (converted via to_u8) or ready u8[H, W, 3]
+    (the render graph's device-quantized ``color_u8`` output)."""
     from PIL import Image
-    Image.fromarray(to_u8(color_chw)).save(path)
+    img = np.asarray(img)
+    if img.dtype != np.uint8:
+        img = to_u8(img)
+    Image.fromarray(img).save(path)
 
 
 def load_png(path: str) -> np.ndarray:
