@@ -98,6 +98,7 @@ def main():
         "drawcalls": stats["drawcalls"],
         "bin_overflow": stats["bin_overflow"],
         "peel_overflow": stats["peel_overflow"],
+        "sparse_overflow": stats["sparse_overflow"],
         "backend": jax.default_backend(),
         "scene_triangles": int(scene.num_triangles),
     }), file=sys.stderr)

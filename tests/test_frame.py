@@ -43,7 +43,8 @@ class TestPackedFrameVec:
                                       np.asarray(out_d["color"]))
         # stats_vec mirrors the stats dict, one transfer
         sv = stats_from_vec(out_p["stats_vec"])
-        for k in ("triangles", "drawcalls", "bin_overflow", "peel_overflow"):
+        for k in ("triangles", "drawcalls", "bin_overflow", "peel_overflow",
+                  "sparse_overflow"):
             assert sv[k] == int(out_d["stats"][k])
         # device-quantized u8 equals host to_u8 of the f32 framebuffer
         from vk_renderer_tpu.utils.image import to_u8

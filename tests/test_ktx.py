@@ -80,8 +80,8 @@ def test_sampler_sees_correct_faces(tmp_path):
     p = str(tmp_path / "sky.ktx2")
     ktx.write_ktx2(p, _cube_u8(4))
     cm = ktx.load_cubemap(p)
-    planes = tuple(jnp.asarray(np.ascontiguousarray(cm[..., c]))
-                   for c in range(3))
+    from vk_renderer_tpu.scene.types import pack_rgb9e5
+    planes = jnp.asarray(pack_rgb9e5(cm))
     dirs = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
                      [0, -1, 0], [0, 0, 1], [0, 0, -1]], np.float32)
     dx = jnp.asarray(dirs[:, 0]).reshape(6, 1)

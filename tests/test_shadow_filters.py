@@ -12,10 +12,21 @@ import numpy as np
 import jax.numpy as jnp
 
 from vk_renderer_tpu.ops import shade
+from vk_renderer_tpu.ops import texture as tex
 from vk_renderer_tpu.ops.shade import (POISSON_DISK, SHADOW_BIAS, NEAR_PLANE,
                                        LIGHT_SIZE_UV,
                                        NUM_SAMPLES_BLOCKER_SEARCH,
                                        NUM_SAMPLES_PCF)
+
+
+def _pack(smap_f32):
+    """Shadow maps are pair-packed 16-bit fixed point on device
+    (texture.pack_shadow_maps); oracles must see the quantized values."""
+    return jnp.asarray(tex.pack_shadow_maps(jnp.asarray(smap_f32)))
+
+
+def _quant(smap_f32):
+    return np.asarray(tex.quantize_shadow(jnp.asarray(smap_f32)))
 
 
 # ---------------------------------------------------------------------------
@@ -94,6 +105,7 @@ def _pcss_oracle(smap, su, sv, sz):
 def _random_inputs(seed, h=6, w=7, layers=1, size=16):
     rng = np.random.default_rng(seed)
     smap = rng.uniform(0.1, 0.9, size=(layers, size, size)).astype(np.float32)
+    smap = _quant(smap)   # what the packed device representation holds
     # stay away from exact comparison boundaries so f32-order-of-operations
     # differences between oracle and batched path can't flip a tap
     su = rng.uniform(-0.2, 1.2, size=(h, w)).astype(np.float32)
@@ -107,7 +119,7 @@ class TestShadowFilterOracles:
     def test_hard_matches_oracle(self):
         smap, su, sv, sz, layer = _random_inputs(0)
         got = np.asarray(shade._shadow_hard(
-            jnp.asarray(smap), jnp.asarray(su), jnp.asarray(sv),
+            _pack(smap), jnp.asarray(su), jnp.asarray(sv),
             jnp.asarray(sz), jnp.asarray(layer)))
         want = np.vectorize(
             lambda u, v, z: _hard_oracle(smap[0], u, v, z))(su, sv, sz)
@@ -116,7 +128,7 @@ class TestShadowFilterOracles:
     def test_pcf_matches_oracle(self):
         smap, su, sv, sz, layer = _random_inputs(1)
         got = np.asarray(shade._shadow_pcf(
-            jnp.asarray(smap), jnp.asarray(su), jnp.asarray(sv),
+            _pack(smap), jnp.asarray(su), jnp.asarray(sv),
             jnp.asarray(sz), jnp.asarray(layer)))
         want = np.vectorize(
             lambda u, v, z: _pcf_oracle(smap[0], u, v, z))(su, sv, sz)
@@ -125,7 +137,7 @@ class TestShadowFilterOracles:
     def test_pcss_matches_oracle(self):
         smap, su, sv, sz, layer = _random_inputs(2)
         got = np.asarray(shade._shadow_pcss(
-            jnp.asarray(smap), jnp.asarray(su), jnp.asarray(sv),
+            _pack(smap), jnp.asarray(su), jnp.asarray(sv),
             jnp.asarray(sz), jnp.asarray(layer)))
         want = np.vectorize(
             lambda u, v, z: _pcss_oracle(smap[0], u, v, z))(su, sv, sz)
@@ -135,7 +147,7 @@ class TestShadowFilterOracles:
         """Multi-layer maps: each pixel must sample ITS layer, not layer 0."""
         smap, su, sv, sz, layer = _random_inputs(3, layers=4)
         got = np.asarray(shade._shadow_pcss(
-            jnp.asarray(smap), jnp.asarray(su), jnp.asarray(sv),
+            _pack(smap), jnp.asarray(su), jnp.asarray(sv),
             jnp.asarray(sz), jnp.asarray(layer)))
         want = np.vectorize(
             lambda u, v, z, l: _pcss_oracle(smap[l], u, v, z))(
@@ -149,10 +161,10 @@ class TestShadowFilterOracles:
         mid = jnp.full((2, 2), 0.5, jnp.float32)
         lay = jnp.zeros((2, 2), jnp.int32)
         behind = np.asarray(shade._shadow_pcss(
-            jnp.asarray(smap), mid, mid, jnp.full((2, 2), 0.6, jnp.float32),
+            _pack(smap), mid, mid, jnp.full((2, 2), 0.6, jnp.float32),
             lay))
         infront = np.asarray(shade._shadow_pcss(
-            jnp.asarray(smap), mid, mid, jnp.full((2, 2), 0.2, jnp.float32),
+            _pack(smap), mid, mid, jnp.full((2, 2), 0.2, jnp.float32),
             lay))
         np.testing.assert_allclose(behind, 1.0)
         np.testing.assert_allclose(infront, 0.0)
@@ -180,7 +192,7 @@ class TestCascadeSelection:
         h, w = view_z.shape
         wx = jnp.zeros((h, w), jnp.float32)
         f = shade.compute_shadow_factor(
-            jnp.asarray(smaps), wx, wx, wx, jnp.asarray(view_z), sd,
+            _pack(smaps), wx, wx, wx, jnp.asarray(view_z), sd,
             shadow_mode=3, enable_shadows=True)
         return np.asarray(f)
 
@@ -201,7 +213,7 @@ class TestCascadeSelection:
         import jax
         rng = np.random.default_rng(7)
         h, w, n, size = 5, 6, 4, 32
-        smaps = jnp.asarray(
+        smaps = _pack(
             rng.uniform(0.1, 0.9, size=(n, size, size)).astype(np.float32))
         wx = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32) * 10)
         wy = jnp.asarray(rng.normal(size=(h, w)).astype(np.float32) * 10)

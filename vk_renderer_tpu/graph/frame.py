@@ -71,6 +71,10 @@ class FrameConfig:
     # vector of passes ping-ponged over two images — here each entry maps a
     # [3, H, W] image to the next, resolved via POSTPROCESS_REGISTRY)
     post_chain: tuple = ("tonemap",)
+    # sparse-shading capacity for the masked/transparent buckets (0 = auto:
+    # 1/4 of the frame — the procedural scene's additive panes cover ~15%
+    # per peel); pixels beyond it are counted in sparse_overflow
+    sparse_cap: int = 0
 
 
 # Per-frame host state (GPUSceneData + toggles) rides to the device as ONE
@@ -121,10 +125,12 @@ def _frustum_planes(viewproj: jax.Array) -> jax.Array:
     return planes / jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
 
 
-def _winner_alpha(scene, tid, rows, vattr):
-    """Dense planar trilinear albedo-alpha of the per-pixel winning
-    triangle (the mesh_pbr.frag:192-193 discard operand)."""
-    weights = interp.interpolation_weights_rows(tid, rows[0], rows[1])
+def _winner_alpha(scene, tid, rows, vattr, px=None, py=None):
+    """Trilinear albedo-alpha of the per-pixel winning triangle (the
+    mesh_pbr.frag:192-193 discard operand).  Shape-agnostic: dense [H, W]
+    or a sparse compact list with explicit ``px``/``py``."""
+    weights = interp.interpolation_weights_rows(tid, rows[0], rows[1],
+                                                px, py)
     (u, dudx, dudy), (v, dvdx, dvdy) = interp.interp_rows_with_derivs(
         vattr, (6, 7), weights)
     aid = jnp.take(scene.mat_tex_ids[:, 0], weights["mat_id"])
@@ -146,20 +152,30 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     The peel loop is UNROLLED straight-line code, not ``lax.scan`` — inside
     a scan body XLA:TPU serializes the per-peel gathers against the loop
     state and the same work costs ~10x more (round-1 profiling: 55 ms of
-    ingredients became 400+ ms per peel)."""
+    ingredients became 400+ ms per peel).  The alpha evaluation runs
+    SPARSELY on the compacted found pixels (see _transparent_pass);
+    compaction overflow is counted in ``sparse_overflow``."""
     w, h = cfg.width, cfg.height
     n_tris = scene.tris[0].shape[0]
     no_id = jnp.full((h, w), -1, jnp.int32)
+    cap = cfg.sparse_cap or max(8192, (w * h) // 4)
 
     floor = None
+    sparse_ovf = jnp.int32(0)
     for _ in range(cfg.masked_peels):
         d2, t2 = raster.rasterize_plan(
             plan_m, padded, w, h, n_tris, tile_w=cfg.tile_w,
             tile_h=cfg.tile_h, chunk=cfg.masked_chunk, init_depth=depth,
             init_id=no_id, floor_depth=floor)
         found = t2 >= 0
-        alpha = _winner_alpha(scene, t2, rows, vattr)
-        accept = found & (alpha >= 0.5)
+        sel, ovf = _compact_covered(t2, cap)
+        sparse_ovf = sparse_ovf + ovf
+        selc, t2_s, px, py = _sparse_pixels(sel, t2, w)
+        alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py)
+        tgt = jnp.where(sel >= 0, sel, w * h)
+        accept_flat = jnp.zeros((w * h,), bool).at[tgt].set(
+            alpha_s >= 0.5, mode="drop")
+        accept = found & accept_flat.reshape(h, w)
         depth = jnp.where(accept, d2, depth)
         tid = jnp.where(accept, t2, tid)
         floor = jnp.where(found & ~accept, d2, 2.0)   # keep peeling rejects
@@ -170,7 +186,7 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         chunk=cfg.masked_chunk, init_depth=depth, init_id=no_id,
         floor_depth=floor)
     peel_ovf = jnp.sum((t3 >= 0).astype(jnp.int32))
-    return depth, tid, peel_ovf
+    return depth, tid, peel_ovf, sparse_ovf
 
 
 def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
@@ -191,13 +207,18 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
     # (scenedata.py:128-130) which is the only layer those filters read
     n_active = NUM_CASCADES
     n_tris = scene.tris[0].shape[0]
-    wx, wy, wz = world_pos
+
+    # gather the triangle corners' WORLD positions once; each cascade only
+    # re-runs the (free) elementwise light-matrix transform on them
+    # instead of 12 takes over 260k triangles per cascade
+    cw = rsetup.gather_corner_positions(world_pos, scene.tris)
 
     def one_cascade(lvp):
-        clip = tuple(lvp[r, 0] * wx + lvp[r, 1] * wy + lvp[r, 2] * wz
-                     + lvp[r, 3] for r in range(4))
-        st = rsetup.triangle_setup(clip, scene.tris, tri_visible, s, out_h,
-                                   cull=rsetup.CULL_FRONT)
+        corn = tuple([lvp[r, 0] * cw[0][k] + lvp[r, 1] * cw[1][k]
+                      + lvp[r, 2] * cw[2][k] + lvp[r, 3] for k in range(3)]
+                     for r in range(4))
+        st = rsetup.triangle_setup(None, None, tri_visible, s, out_h,
+                                   cull=rsetup.CULL_FRONT, corners=corn)
         (plan,) = raster.plan_view_buckets(
             st, ((0, n_tris),), s, out_h, cfg.tile_w, cfg.tile_h,
             (cfg.shadow_cap,), (cfg.rec_shadow,))
@@ -212,8 +233,11 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
     # UNROLLED over cascades (a lax.scan body serializes the setup/bin
     # gathers against the carry — the round-1 shadow pass cost ~2x its
     # standalone ingredients; straight-line cascades also let XLA overlap)
-    return jnp.stack([one_cascade(light_viewproj[i])
+    maps = jnp.stack([one_cascade(light_viewproj[i])
                       for i in range(n_active)])
+    # pair-packed 16-bit form: halves the shadow filters' gather count
+    # (tex.pack_shadow_maps)
+    return tex.pack_shadow_maps(maps)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -241,7 +265,8 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
         shadow_maps = render_shadow_maps(scene, world_pos, tri_visible,
                                          scene_data["light_viewproj"], cfg)
     else:
-        shadow_maps = jnp.ones((NUM_CASCADES, 1, 1), jnp.float32)
+        shadow_maps = tex.pack_shadow_maps(
+            jnp.ones((NUM_CASCADES, 1, 1), jnp.float32))
     return render_view(scene, scene_data, settings, cfg, shadow_maps)
 
 
@@ -308,13 +333,15 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
 
     overflow = plan_o["overflow"]
     peel_overflow = jnp.int32(0)
+    sparse_overflow = jnp.int32(0)
     if scene.n_masked > 0:
         plan_m = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                         cfg.tile_w, cfg.tile_h)
-        depth, tid, peel_m = _masked_pass(scene, cfg, plan_m, padded,
-                                          rows, vattr, depth, tid)
+        depth, tid, peel_m, sp_m = _masked_pass(scene, cfg, plan_m, padded,
+                                                rows, vattr, depth, tid)
         overflow = overflow + plan_m["overflow"]
         peel_overflow = peel_overflow + peel_m
+        sparse_overflow = sparse_overflow + sp_m
 
     # ---- G-buffer interpolation (fixed-function varyings, SURVEY F3)
     gbuf = _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos)
@@ -352,10 +379,11 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     if scene.n_transparent > 0:
         plan_t = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                         cfg.tile_w, cfg.tile_h)
-        color, peel_t = _transparent_pass(scene, scene_data, settings, cfg,
-                                          plan_t, padded, rows, vattr,
-                                          vpos, depth, shadow_maps, color)
+        color, peel_t, sp_t = _transparent_pass(
+            scene, scene_data, settings, cfg, plan_t, padded, rows, vattr,
+            vpos, depth, shadow_maps, color)
         peel_overflow = peel_overflow + peel_t
+        sparse_overflow = sparse_overflow + sp_t
 
     # ---- postprocess chain (registered-pass vector with functional
     # ping-pong, vk_engine_init.cpp:554-596; the reference registers only
@@ -370,16 +398,19 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
             "stats": {"triangles": stats_triangles,
                       "drawcalls": stats_drawcalls,
                       "bin_overflow": overflow,
-                      "peel_overflow": peel_overflow},
+                      "peel_overflow": peel_overflow,
+                      "sparse_overflow": sparse_overflow},
             # apps fetch THIS with one np.asarray: one device->host pull
-            # instead of four (each pull is a blocking round trip through
+            # instead of five (each pull is a blocking round trip through
             # the TPU tunnel)
             "stats_vec": jnp.stack([stats_triangles, stats_drawcalls,
-                                    overflow, peel_overflow]),
+                                    overflow, peel_overflow,
+                                    sparse_overflow]),
             "color_u8": _to_u8_device(color)}
 
 
-STATS_KEYS = ("triangles", "drawcalls", "bin_overflow", "peel_overflow")
+STATS_KEYS = ("triangles", "drawcalls", "bin_overflow", "peel_overflow",
+              "sparse_overflow")
 
 
 def stats_from_vec(vec) -> dict:
@@ -410,18 +441,26 @@ def _build_vertex_rows(scene, world_pos, world_nrm):
     return vattr, vpos
 
 
-def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos):
-    """Planar G-buffer (see ops/shade.py docstring for the key list)."""
-    weights = interp.interpolation_weights_rows(tid, rows[0], rows[1])
+def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos,
+                   px=None, py=None):
+    """Planar G-buffer (see ops/shade.py docstring for the key list).
+    ``px``/``py``: explicit pixel centers for SPARSE (compacted) shading;
+    dense [H, W] grid when omitted."""
+    weights = interp.interpolation_weights_rows(tid, rows[0], rows[1],
+                                                px, py)
     lam = weights["lam"]
     vidx = weights["vidx"]
 
     g = {}
-    a = interp.interp_rows(vattr, vidx, lam)
+    # one corner-gather of the attribute rows serves BOTH the plain
+    # interpolation and the UV-derivative quotient rule (round 1 gathered
+    # the same rows twice — 3 extra 2M-row-gathers per G-buffer)
+    corners = interp.gather_corners(vattr, vidx)
+    a = interp.interp_from_corners(corners, lam)
     g["nx"], g["ny"], g["nz"] = a[0], a[1], a[2]
     g["cr"], g["cg"], g["cb"] = a[3], a[4], a[5]
     (g["u"], g["dudx"], g["dudy"]), (g["v"], g["dvdx"], g["dvdy"]) = \
-        interp.interp_rows_with_derivs(vattr, (6, 7), weights)
+        interp.derivs_from_corners(corners, (6, 7), weights)
     pz = interp.interp_rows(vpos, vidx, lam)
     g["wx"], g["wy"], g["wz"] = pz[0], pz[1], pz[2]
     view = scene_data["view"]
@@ -432,40 +471,90 @@ def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos):
     return g
 
 
+def _compact_covered(tid: jax.Array, cap: int):
+    """Pack the flat indices of covered pixels (tid >= 0) into a static
+    [cap] list (-1 padded), in raster order.  Returns (sel, overflow):
+    pixels beyond ``cap`` are counted, never silently dropped.
+
+    This is the sparse-shading primitive: the transparent/masked buckets
+    cover a few percent of the frame, and shading cost is dominated by
+    per-pixel gathers (~8 ns/index) — shading 2M pixels densely to use a
+    few thousand is the single largest waste in the frame (round-1:
+    6.0 s of the 11.3 s frame)."""
+    flat = (tid >= 0).reshape(-1)
+    n = flat.shape[0]
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat & (pos < cap), pos, cap)
+    sel = jnp.full((cap,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    total = pos[-1] + 1
+    return sel, jnp.maximum(total - cap, 0)
+
+
+def _sparse_pixels(sel: jax.Array, tid: jax.Array, width: int):
+    """Per-compact-slot pixel centers + winning triangle (-1 for pad)."""
+    selc = jnp.maximum(sel, 0)
+    tid_s = jnp.where(sel >= 0, jnp.take(tid.reshape(-1), selc), -1)
+    px = (selc % width).astype(jnp.float32) + 0.5
+    py = (selc // width).astype(jnp.float32) + 0.5
+    return selc, tid_s, px, py
+
+
 def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
                       padded, rows, vattr, vpos, opaque_depth, shadow_maps,
                       color):
     """Additive-blend transparent geometry (vk_pipelines.cpp:108-118:
     srcAlpha*src + dst; mesh_pbr always writes alpha=1 so effectively
     ONE/ONE), depth test against opaque LESS_OR_EQUAL, depth write off —
-    implemented as K depth-peel layers, each shaded densely and summed.
-    Order-independent, so peel order is irrelevant.  UNROLLED, not a scan
-    (see _masked_pass).  A final depth-only probe counts pixels with a
-    (K+1)-th layer -> ``peel_overflow``."""
+    implemented as K depth-peel layers.  Order-independent, so peel order
+    is irrelevant.  UNROLLED, not a scan (see _masked_pass).  A final
+    depth-only probe counts pixels with a (K+1)-th layer ->
+    ``peel_overflow``.
+
+    Each peel is shaded SPARSELY: covered pixels (a few percent of the
+    frame) are compacted to ``cfg.sparse_cap`` slots, the full PBR shader
+    (incl. CSM shadow filtering) runs on the compact list, and the result
+    scatter-adds into the framebuffer — per-pixel gathers dominate shading
+    cost, so this is ~coverage-proportional instead of frame-proportional
+    (round 1 shaded 2M pixels per peel to light a few thousand).
+    Covered pixels beyond the cap are counted in ``sparse_overflow``."""
     w, h = cfg.width, cfg.height
     n_tris = scene.tris[0].shape[0]
     no_id = jnp.full((h, w), -1, jnp.int32)
+    cap = cfg.sparse_cap or max(8192, (w * h) // 4)
 
     shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
 
     floor = None
+    sparse_ovf = jnp.int32(0)
+    color_flat = [c.reshape(-1) for c in color]
     for _ in range(cfg.transparent_peels):
         d, tidt = raster.rasterize_plan(
             plan_t, padded, w, h, n_tris, tile_w=cfg.tile_w,
             tile_h=cfg.tile_h, chunk=cfg.raster_chunk,
             init_depth=opaque_depth, init_id=no_id, floor_depth=floor)
-        gbuf = _build_gbuffer(scene, scene_data, tidt, rows, vattr, vpos)
+        sel, ovf = _compact_covered(tidt, cap)
+        sparse_ovf = sparse_ovf + ovf
+        selc, tid_s, px, py = _sparse_pixels(sel, tidt, w)
+        gbuf = _build_gbuffer(scene, scene_data, tid_s, rows, vattr, vpos,
+                              px, py)
         rgb, alpha = shader(gbuf, scene, scene_data, shadow_maps,
                             scene_data["sunlight_direction"][3],
                             (scene_data["sunlight_color"][3]
                              if cfg.enable_shadows else False))
-        contrib = (tidt >= 0) & (alpha >= 0.5)          # discard still applies
-        color = tuple(c + jnp.where(contrib, rc, 0.0)
-                      for c, rc in zip(color, rgb))
+        contrib = (tid_s >= 0) & (alpha >= 0.5)         # discard still applies
+        # additive blend via scatter-add; pad slots (sel == -1) are routed
+        # out of bounds POSITIVELY (w*h) so mode="drop" discards them
+        # (a raw -1 would wrap to the last pixel, numpy-style)
+        tgt = jnp.where(sel >= 0, sel, w * h)
+        color_flat = [cf.at[tgt].add(jnp.where(contrib, rc, 0.0),
+                                     mode="drop")
+                      for cf, rc in zip(color_flat, rgb)]
         floor = jnp.where(tidt >= 0, d, 2.0)            # peel past this layer
     _, t3 = raster.rasterize_plan(
         plan_t, padded, w, h, n_tris, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
         chunk=cfg.raster_chunk, init_depth=opaque_depth, init_id=no_id,
         floor_depth=floor)
     peel_ovf = jnp.sum((t3 >= 0).astype(jnp.int32))
-    return color, peel_ovf
+    color = tuple(cf.reshape(h, w) for cf in color_flat)
+    return color, peel_ovf, sparse_ovf

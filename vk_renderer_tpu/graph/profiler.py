@@ -150,7 +150,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
             return F._masked_pass(scene, cfg, plan_m, padded, rows,
                                   vattr, depth, tid)
 
-        ms, (depth, tid, _) = _timed(jax.jit(stage_masked), scene, plan_m,
+        ms, (depth, tid, _, _sp) = _timed(jax.jit(stage_masked), scene, plan_m,
                                      padded, rows, vattr, depth, tid,
                                      iters=iters)
         timings["masked"] = ms
@@ -164,7 +164,9 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     timings["gbuffer"] = ms
 
     # ---- stage: shade (PBR or flat, incl. texture sampling + shadows)
-    shadow_maps = jnp.ones((F.NUM_CASCADES, 1, 1), jnp.float32)
+    from ..ops import texture as _tex
+    shadow_maps = _tex.pack_shadow_maps(
+        jnp.ones((F.NUM_CASCADES, 1, 1), jnp.float32))
 
     def stage_shade(gbuf, scene, sd, shadow_maps):
         shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
@@ -220,7 +222,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
                                        padded, rows, vattr, vpos,
                                        depth, shadow_maps, color)
 
-        ms, (color, _) = _timed(jax.jit(stage_transparent), scene,
+        ms, (color, _, _sp2) = _timed(jax.jit(stage_transparent), scene,
                                 scene_data, settings, plan_t, padded,
                                 rows, vattr, vpos, depth, shadow_maps, color,
                                 iters=iters)

@@ -46,16 +46,21 @@ def build_tri_rows(setup_padded: dict, tris_p, tri_mat_p):
 
 
 def interpolation_weights_rows(tri_id: jax.Array, row1: jax.Array,
-                               row2: jax.Array):
+                               row2: jax.Array, px=None, py=None):
     """Row-gather variant of interpolation_weights; additionally returns
-    per-pixel ``mat_id`` and corner vertex indices ``vidx`` for free."""
-    h, w = tri_id.shape
+    per-pixel ``mat_id`` and corner vertex indices ``vidx`` for free.
+
+    ``px``/``py``: explicit pixel-center coordinates matching
+    ``tri_id``'s shape — pass them for SPARSE (compacted-pixel) shading;
+    defaults to the dense [H, W] grid."""
     sentinel = row1.shape[0] - 1
     ids = jnp.where(tri_id < 0, sentinel, tri_id)
-    r1 = row1[ids]                                   # [H, W, 8]
+    r1 = row1[ids]                                   # [..., 8]
     r2 = row2[ids]
 
-    px, py = pixel_centers(h, w)
+    if px is None:
+        h, w = tri_id.shape
+        px, py = pixel_centers(h, w)
     pxa = px - r2[..., 1]
     pya = py - r2[..., 2]
 
@@ -124,15 +129,43 @@ def interp_channel(vals: jax.Array, vidx, lam) -> jax.Array:
             + jnp.take(vals, vidx[2]) * lam[2])
 
 
+def gather_corners(vrows: jax.Array, vidx):
+    """The three per-corner row-gathers of a [V, C] attribute table —
+    gather ONCE and feed both interp_from_corners and
+    derivs_from_corners (round-1 gathered the same rows twice)."""
+    return vrows[vidx[0]], vrows[vidx[1]], vrows[vidx[2]]
+
+
+def interp_from_corners(corners, lam):
+    """Interpolate every channel of pre-gathered corner rows."""
+    c0, c1, c2 = corners
+    n = c0.shape[-1]
+    return tuple(c0[..., k] * lam[0] + c1[..., k] * lam[1]
+                 + c2[..., k] * lam[2] for k in range(n))
+
+
+def derivs_from_corners(corners, channels, weights: dict):
+    """(value, d/dx, d/dy) for the requested channels of pre-gathered
+    corner rows (quotient rule on the linear numerator/denominator)."""
+    c0, c1, c2 = corners
+    lam, a, b, inv = (weights["lam"], weights["a"], weights["b"],
+                      weights["inv_esum"])
+    dax = a[0] + a[1] + a[2]
+    day = b[0] + b[1] + b[2]
+    out = []
+    for k in channels:
+        v0, v1, v2 = c0[..., k], c1[..., k], c2[..., k]
+        val = v0 * lam[0] + v1 * lam[1] + v2 * lam[2]
+        nx = v0 * a[0] + v1 * a[1] + v2 * a[2]
+        ny = v0 * b[0] + v1 * b[1] + v2 * b[2]
+        out.append((val, (nx - val * dax) * inv, (ny - val * day) * inv))
+    return out
+
+
 def interp_rows(vrows: jax.Array, vidx, lam):
     """Interpolate a [V, C<=8] row table of per-vertex attributes with ONE
     row-gather per corner.  Returns a tuple of C planar channels."""
-    c0 = vrows[vidx[0]]                              # [H, W, C]
-    c1 = vrows[vidx[1]]
-    c2 = vrows[vidx[2]]
-    n = vrows.shape[1]
-    return tuple(c0[..., k] * lam[0] + c1[..., k] * lam[1]
-                 + c2[..., k] * lam[2] for k in range(n))
+    return interp_from_corners(gather_corners(vrows, vidx), lam)
 
 
 def interp_rows_with_derivs(vrows: jax.Array, channels, weights: dict):

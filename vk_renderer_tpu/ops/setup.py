@@ -91,22 +91,41 @@ def cull_objects(obj_world: jax.Array, obj_bounds: jax.Array,
     return jnp.all(dist >= -radius[:, None], axis=1)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "cull"))
-def triangle_setup(clip, tris, tri_valid: jax.Array,
-                   width: int, height: int, cull: int = CULL_BACK):
-    """Clipless 2DH setup.  clip: (cx,cy,cz,cw) planar over V;
-    tris: (i0,i1,i2) planar over T.  ``tri_valid`` folds in the
-    frustum-cull mask (and bucket masks)."""
-    if not isinstance(clip, (tuple, list)):
-        clip = tuple(clip[:, c] for c in range(4))
+def gather_corner_positions(coords, tris):
+    """Per-corner takes of per-vertex planar coords: coords (cx, cy, cz[,
+    cw]) over V, tris (i0, i1, i2) over T -> per-component corner lists
+    over T.  Gather ONCE and reuse across views that share geometry (the
+    4 shadow cascades re-transform the same corners — matrix math is
+    elementwise-free, the takes are not)."""
     if not isinstance(tris, (tuple, list)):
         tris = tuple(tris[:, c] for c in range(3))
-    cx, cy, cz, cw = clip
-    vi = tris
-    x = [jnp.take(cx, i) for i in vi]
-    y = [jnp.take(cy, i) for i in vi]
-    z = [jnp.take(cz, i) for i in vi]
-    w = [jnp.take(cw, i) for i in vi]
+    return tuple([jnp.take(comp, i) for i in tris] for comp in coords)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "cull"))
+def triangle_setup(clip, tris, tri_valid: jax.Array,
+                   width: int, height: int, cull: int = CULL_BACK,
+                   corners=None):
+    """Clipless 2DH setup.  clip: (cx,cy,cz,cw) planar over V;
+    tris: (i0,i1,i2) planar over T.  ``tri_valid`` folds in the
+    frustum-cull mask (and bucket masks).
+
+    ``corners``: optional pre-gathered per-corner clip coords
+    (x, y, z, w), each a list of 3 [T] planes — skips the 12 corner
+    takes (see gather_corner_positions)."""
+    if corners is not None:
+        x, y, z, w = corners
+    else:
+        if not isinstance(clip, (tuple, list)):
+            clip = tuple(clip[:, c] for c in range(4))
+        if not isinstance(tris, (tuple, list)):
+            tris = tuple(tris[:, c] for c in range(3))
+        cx, cy, cz, cw = clip
+        vi = tris
+        x = [jnp.take(cx, i) for i in vi]
+        y = [jnp.take(cy, i) for i in vi]
+        z = [jnp.take(cz, i) for i in vi]
+        w = [jnp.take(cw, i) for i in vi]
 
     # fold the viewport transform into homogeneous screen coords
     X = [(x[k] + w[k]) * (0.5 * width) for k in range(3)]

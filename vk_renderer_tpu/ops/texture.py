@@ -25,7 +25,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .gatherutil import gather_pairs
+from .gatherutil import take2
 
 
 def _desc_take(offsets, sizes, tex_id, level):
@@ -56,9 +56,9 @@ def _unpack_rgba8(packed, srgb, channels):
 
 def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
                     channels=(0, 1, 2, 3)):
-    """One mip level, REPEAT wrap, bilinear over the packed u32 heap.
-    All four corners cost TWO 2-wide gathers (rows are wrap-padded, so an
-    x-pair is contiguous; TPU gathers cost per index, not per byte).
+    """One mip level, REPEAT wrap, bilinear over the packed u32 heap:
+    four plain flat takes, one per corner (the u32 packing makes each take
+    fetch all four RGBA channels at once).
     Returns a tuple of [H, W] planes for the requested channels."""
     off, w, h = _desc_take(offsets, sizes, tex_id, level)
     x = u * w.astype(jnp.float32) - 0.5
@@ -75,8 +75,12 @@ def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
     y0i = wrap(y0, h)
     y1i = wrap(y0 + 1, h)
     stride = w + 1                          # wrap-padded rows
-    p00, p10 = gather_pairs(texels, off + y0i * stride + x0i)
-    p01, p11 = gather_pairs(texels, off + y1i * stride + x0i)
+    # each x-pair via ONE row-4 double-fetch (take2): 2 gather index-units
+    # per bilinear row instead of 2 plain takes — row gathers are ~3x
+    # cheaper per index (gatherutil cost table); the wrap-padded rows
+    # guarantee address+1 is the REPEAT texel
+    p00, p10 = take2(texels, off + y0i * stride + x0i)
+    p01, p11 = take2(texels, off + y1i * stride + x0i)
 
     out = []
     for (t00, t10, t01, t11) in zip(_unpack_rgba8(p00, srgb, channels),
@@ -131,17 +135,44 @@ def sample_bilinear_lod0(textures, tex_id, u, v, channels=(0, 1, 2, 3)):
 # shadow map: 2D array, linear filter, clamp-to-border white
 # ----------------------------------------------------------------------------
 
-def sample_shadow_batch(shadow_maps: jax.Array, us: jax.Array, vs: jax.Array,
-                        layer: jax.Array) -> jax.Array:
-    """Batched bilinear shadow taps.  shadow_maps f32[L, S, S];
-    us/vs [K, H, W] (K independent filter taps); layer [H, W].
-    Border depth 1.0 outside [0,1]^2 (opaque-white border).
+SHADOW_Q = 65535.0   # 16-bit fixed-point depth quantization (see pack)
 
-    PERF: all K taps gather through ONE take per bilinear corner.  Multiple
-    separate gathers whose coordinates depend on per-pixel arrays trip an
-    XLA TPU fusion that serializes them (~100 ms per 2M-pixel gather);
-    a single big gather stays vectorized (~0.1 ms)."""
-    size = shadow_maps.shape[-1]
+
+def pack_shadow_maps(maps: jax.Array) -> jax.Array:
+    """f32[L, S, S] depth -> pair-packed i32[L, S, S]:
+    ``word[y, x] = q16(d[y, x]) | q16(d[y, min(x+1, S-1)]) << 16``.
+
+    The redundant packing makes a bilinear x-pair ONE flat take (an
+    unaligned pair can never be covered by one aligned fetch, so
+    non-redundant layouts need two) — the shadow filters' gather count
+    halves, and a PCSS tap costs 2 index-units total.
+
+    16-bit fixed point quantizes depth to 1.5e-5 — 33x finer than the
+    5e-4 compare bias (mesh_pbr.frag:38); a documented deviation from the
+    reference's D32 (every backend samples the same packed maps, so
+    cross-backend parity is exact)."""
+    q = jnp.round(jnp.clip(maps, 0.0, 1.0) * SHADOW_Q).astype(jnp.int32)
+    q_next = jnp.concatenate([q[..., 1:], q[..., -1:]], axis=-1)
+    return q | (q_next << 16)
+
+
+def quantize_shadow(maps: jax.Array) -> jax.Array:
+    """The depth value the packed representation reproduces (for oracles)."""
+    return jnp.round(jnp.clip(maps, 0.0, 1.0) * SHADOW_Q) / SHADOW_Q
+
+
+def sample_shadow_batch(shadow_packed: jax.Array, us: jax.Array,
+                        vs: jax.Array, layer: jax.Array) -> jax.Array:
+    """Batched bilinear shadow taps.  shadow_packed i32[L, S, S] from
+    pack_shadow_maps; us/vs [K, H, W] (K independent filter taps);
+    layer [H, W].  Border depth 1.0 outside [0,1]^2 (opaque-white border).
+
+    PERF: ONE flat take per bilinear ROW (2 per tap) — the pair-packed
+    words carry both x-corners, and plain takes are the cheapest
+    per-index gather form on TPU."""
+    assert shadow_packed.dtype == jnp.int32, \
+        "shadow maps must be pair-packed (texture.pack_shadow_maps)"
+    size = shadow_packed.shape[-1]
     sf = jnp.float32(size)
     x = us * sf - 0.5
     y = vs * sf - 0.5
@@ -150,50 +181,62 @@ def sample_shadow_batch(shadow_maps: jax.Array, us: jax.Array, vs: jax.Array,
     fx = x - x0
     fy = y - y0
 
-    # border masks (applied to the gathered values; the x-pair gather may
-    # read a neighboring row's texel at x==size-1, but that lane is always
-    # border-masked so the value never matters)
     x0in = (x0 >= 0) & (x0 < size)
     x1in = (x0 + 1 >= 0) & (x0 + 1 < size)
     y0in = (y0 >= 0) & (y0 < size)
     y1in = (y0 + 1 >= 0) & (y0 + 1 < size)
 
     x0c = jnp.clip(x0, 0, size - 1).astype(jnp.int32)
+    x1c = jnp.clip(x0 + 1, 0, size - 1).astype(jnp.int32)
     y0c = jnp.clip(y0, 0, size - 1).astype(jnp.int32)
     y1c = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
     base = (layer * (size * size))[None]
-    flat = shadow_maps.reshape(-1)
-    t00, t10 = gather_pairs(flat, base + y0c * size + x0c)
-    t01, t11 = gather_pairs(flat, base + y1c * size + x0c)
-    # left border: x0 == -1 clamps to 0, so the pair reads (tex[y,0],
-    # tex[y,1]) — the valid x=0 sample is the pair's FIRST element
-    left = x0 < 0
-    t10 = jnp.where(left, t00, t10)
-    t11 = jnp.where(left, t01, t11)
-    t00 = jnp.where(x0in & y0in, t00, 1.0)
-    t10 = jnp.where(x1in & y0in, t10, 1.0)
-    t01 = jnp.where(x0in & y1in, t01, 1.0)
-    t11 = jnp.where(x1in & y1in, t11, 1.0)
+    flat = shadow_packed.reshape(-1)
+    w0 = jnp.take(flat, base + y0c * size + x0c)
+    w1 = jnp.take(flat, base + y1c * size + x0c)
+    inv_q = jnp.float32(1.0 / SHADOW_Q)
+    lo0 = (w0 & 0xFFFF).astype(jnp.float32) * inv_q
+    hi0 = ((w0 >> 16) & 0xFFFF).astype(jnp.float32) * inv_q
+    lo1 = (w1 & 0xFFFF).astype(jnp.float32) * inv_q
+    hi1 = ((w1 >> 16) & 0xFFFF).astype(jnp.float32) * inv_q
+    # x0 < 0 clamps x0c to 0 == x1c: corner 1 is then the word's LO lane
+    use_hi = x1c > x0c
+    t00 = jnp.where(x0in & y0in, lo0, 1.0)
+    t10 = jnp.where(x1in & y0in, jnp.where(use_hi, hi0, lo0), 1.0)
+    t01 = jnp.where(x0in & y1in, lo1, 1.0)
+    t11 = jnp.where(x1in & y1in, jnp.where(use_hi, hi1, lo1), 1.0)
     top = t00 + (t10 - t00) * fx
     bot = t01 + (t11 - t01) * fx
     return top + (bot - top) * fy
 
 
-def sample_shadow(shadow_maps: jax.Array, u: jax.Array, v: jax.Array,
+def sample_shadow(shadow_packed: jax.Array, u: jax.Array, v: jax.Array,
                   layer: jax.Array) -> jax.Array:
     """Single bilinear shadow tap (see sample_shadow_batch)."""
-    return sample_shadow_batch(shadow_maps, u[None], v[None], layer)[0]
+    return sample_shadow_batch(shadow_packed, u[None], v[None], layer)[0]
 
 
 # ----------------------------------------------------------------------------
 # cubemap
 # ----------------------------------------------------------------------------
 
+def _decode_rgb9e5(w):
+    """Shared-exponent RGB9E5 u32 -> (r, g, b) f32 (see types.pack_rgb9e5)."""
+    e = ((w >> 27) & 0x1F).astype(jnp.float32)
+    scale = jnp.exp2(e - (15.0 + 9.0))
+    return ((w & 0x1FF).astype(jnp.float32) * scale,
+            ((w >> 9) & 0x1FF).astype(jnp.float32) * scale,
+            ((w >> 18) & 0x1FF).astype(jnp.float32) * scale)
+
+
 def sample_cubemap(cubemap, dx, dy, dz):
-    """cubemap: tuple of 3 per-channel planes f32[6, F, F] (Vulkan face
-    order +X -X +Y -Y +Z -Z); direction components planar [H, W].
-    Bilinear, per-face clamp-to-edge, face selection per the Vulkan
-    cube-map equations.  Returns (r, g, b) planar."""
+    """cubemap: RGB9E5-packed u32[6, F, F] (Vulkan face order
+    +X -X +Y -Y +Z -Z; scene/types.pack_rgb9e5); direction components
+    planar [H, W].  Bilinear, per-face clamp-to-edge, face selection per
+    the Vulkan cube-map equations.  Returns (r, g, b) planar.
+
+    One u32 gather per bilinear corner (4 total) replaces the previous
+    three per-channel gathers per corner (12)."""
     ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     use_x = (ax >= ay) & (ax >= az)
     use_y = (~use_x) & (ay >= az)
@@ -210,7 +253,9 @@ def sample_cubemap(cubemap, dx, dy, dz):
     u = 0.5 * (sc / ma + 1.0)
     v = 0.5 * (tc / ma + 1.0)
 
-    size = cubemap[0].shape[1]
+    assert cubemap.dtype == jnp.int32, \
+        "cubemap must be RGB9E5-packed (scene/types.pack_rgb9e5)"
+    size = cubemap.shape[1]
     sf = jnp.float32(size)
     xf = u * sf - 0.5
     yf = v * sf - 0.5
@@ -223,13 +268,16 @@ def sample_cubemap(cubemap, dx, dy, dz):
     y0i = jnp.clip(y0, 0, size - 1).astype(jnp.int32)
     y1i = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
 
-    fb = jnp.stack([face, face, face, face])
-    ys = jnp.stack([y0i, y0i, y1i, y1i])
-    xs = jnp.stack([x0i, x1i, x0i, x1i])
+    flat = cubemap.reshape(-1)
+    base = face * (size * size)
+    w00 = jnp.take(flat, base + y0i * size + x0i)
+    w10 = jnp.take(flat, base + y0i * size + x1i)
+    w01 = jnp.take(flat, base + y1i * size + x0i)
+    w11 = jnp.take(flat, base + y1i * size + x1i)
     out = []
-    for c in range(3):
-        g = cubemap[c][fb, ys, xs]
-        top = g[0] + (g[1] - g[0]) * fx
-        bot = g[2] + (g[3] - g[2]) * fx
+    for (c00, c10, c01, c11) in zip(_decode_rgb9e5(w00), _decode_rgb9e5(w10),
+                                    _decode_rgb9e5(w01), _decode_rgb9e5(w11)):
+        top = c00 + (c10 - c00) * fx
+        bot = c01 + (c11 - c01) * fx
         out.append(top + (bot - top) * fy)
     return tuple(out)

@@ -64,7 +64,8 @@ def render_frame_sharded(scene, scene_data: dict, settings: dict,
              out_specs={"color": P(None, "fb", None), "depth": P("fb", None),
                         "stats": {"triangles": P(), "drawcalls": P(),
                                   "bin_overflow": P(),
-                                  "peel_overflow": P()},
+                                  "peel_overflow": P(),
+                                  "sparse_overflow": P()},
                         "stats_vec": P(), "color_u8": P("fb", None, None)},
              check_vma=False)
     def step(scene, sd, st):
@@ -93,7 +94,9 @@ def render_frame_sharded(scene, scene_data: dict, settings: dict,
                 scene, world_pos, tri_visible, lvp, cfg_slice, out_h=shadow_h)
             shadow_maps = jax.lax.all_gather(strips, "fb", axis=1, tiled=True)
         else:
-            shadow_maps = jnp.ones((NUM_CASCADES, 1, 1), jnp.float32)
+            from ..ops import texture as _tex
+            shadow_maps = _tex.pack_shadow_maps(
+                jnp.ones((NUM_CASCADES, 1, 1), jnp.float32))
 
         out = framelib.render_view(scene, sd_slice, st, cfg_slice,
                                    shadow_maps, y_offset=y0,

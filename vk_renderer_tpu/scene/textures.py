@@ -145,7 +145,12 @@ class TextureHeapBuilder:
                 offsets[t, m] = offsets[t, len(mips) - 1]
                 sizes[t, m] = sizes[t, len(mips) - 1]
         texels = (np.concatenate(chunks) if chunks
-                  else np.zeros((1,), dtype=np.uint32))
+                  else np.zeros((4,), dtype=np.uint32))
+        if texels.shape[0] % 4:
+            # 4-align the heap so samplers can use the row-4 fast gather
+            # (ops/gatherutil.take2)
+            texels = np.concatenate(
+                [texels, np.zeros((4 - texels.shape[0] % 4,), np.uint32)])
         return TextureTable(texels=texels, mip_offsets=offsets,
                             mip_sizes=sizes, n_mips=n_mips,
                             srgb_flags=srgb_flags)

@@ -82,6 +82,8 @@ class SceneArrays:
     textures: TextureTable = None
 
     # skybox cubemap, f32[6, F, F, 3], +X -X +Y -Y +Z -Z (Vulkan layer order)
+    # (device form: ONE RGB9E5-packed u32 [6, F, F] plane — a bilinear
+    # corner costs one gather instead of three channel gathers)
     cubemap: np.ndarray = None
 
     @property
@@ -127,8 +129,7 @@ class SceneArrays:
                 srgb_flags=put(tex.srgb_flags))
         cubemap = None
         if self.cubemap is not None:
-            cubemap = tuple(put(np.ascontiguousarray(self.cubemap[..., c]))
-                            for c in range(3))
+            cubemap = put(pack_rgb9e5(self.cubemap))
         return SceneArrays(
             positions=put_cols(self.positions),
             normals=put_cols(self.normals),
@@ -147,6 +148,26 @@ class SceneArrays:
             textures=new_tex,
             cubemap=cubemap,
         )
+
+
+RGB9E5_EXP_BIAS = 15
+RGB9E5_MANTISSA_BITS = 9
+
+
+def pack_rgb9e5(rgb: np.ndarray) -> np.ndarray:
+    """f32[..., 3] (non-negative, HDR up to ~6.5e4) -> shared-exponent
+    RGB9E5 u32 [...] (EXT_texture_shared_exponent layout: r | g<<9 | b<<18
+    | e<<27).  ~9-bit relative precision per channel; one 32-bit word per
+    texel makes a cubemap bilinear corner a single gather."""
+    c = np.clip(np.asarray(rgb, np.float32), 0.0, 65408.0)
+    maxc = np.maximum(c.max(axis=-1), 1e-12)
+    e = np.clip(np.floor(np.log2(maxc)).astype(np.int32) + 1
+                + RGB9E5_EXP_BIAS, 0, 31)
+    scale = np.exp2(e - RGB9E5_EXP_BIAS - RGB9E5_MANTISSA_BITS
+                    ).astype(np.float32)
+    m = np.clip(np.round(c / scale[..., None]).astype(np.int32), 0, 511)
+    return (m[..., 0] | (m[..., 1] << 9) | (m[..., 2] << 18)
+            | (e << 27)).astype(np.int32)
 
 
 def register_pytrees():
