@@ -59,7 +59,7 @@ class FrameConfig:
     rec_opaque: int = 8192
     rec_masked: int = 4096
     rec_transparent: int = 2048
-    rec_shadow: int = 8192
+    rec_shadow: int = 4096
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     # compiles the shadow SUBSYSTEM in (pipelines-at-init analog); the
     # per-frame on/off and filter mode are TRACED scene_data channels
