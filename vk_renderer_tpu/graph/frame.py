@@ -75,6 +75,10 @@ class FrameConfig:
     # 1/4 of the frame — the procedural scene's additive panes cover ~15%
     # per peel); pixels beyond it are counted in sparse_overflow
     sparse_cap: int = 0
+    # shadow-filter compaction capacity (0 = auto: 5/8 of the shaded
+    # domain) — the filter only matters where covered & n_dot_l > 0;
+    # overflow is counted in sparse_overflow
+    shadow_sparse_cap: int = 0
 
 
 # Per-frame host state (GPUSceneData + toggles) rides to the device as ONE
@@ -353,8 +357,11 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     shadow_mode_t = scene_data["sunlight_direction"][3]
     enable_shadows_t = (scene_data["sunlight_color"][3]
                         if cfg.enable_shadows else False)
-    rgb, _alpha = shader(gbuf, scene, scene_data, shadow_maps,
-                         shadow_mode_t, enable_shadows_t)
+    cap_sh = cfg.shadow_sparse_cap or max(8192, (w * h * 5) // 8)
+    rgb, _alpha, sp_sh = shader(gbuf, scene, scene_data, shadow_maps,
+                                shadow_mode_t, enable_shadows_t,
+                                shadow_sparse_cap=cap_sh)
+    sparse_overflow = sparse_overflow + sp_sh
 
     # ---- compose onto background (clear (0,0,0) or gradient;
     #      vk_engine_run.cpp:246-248)
@@ -472,23 +479,12 @@ def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos,
 
 
 def _compact_covered(tid: jax.Array, cap: int):
-    """Pack the flat indices of covered pixels (tid >= 0) into a static
-    [cap] list (-1 padded), in raster order.  Returns (sel, overflow):
-    pixels beyond ``cap`` are counted, never silently dropped.
-
-    This is the sparse-shading primitive: the transparent/masked buckets
-    cover a few percent of the frame, and shading cost is dominated by
-    per-pixel gathers (~8 ns/index) — shading 2M pixels densely to use a
-    few thousand is the single largest waste in the frame (round-1:
-    6.0 s of the 11.3 s frame)."""
-    flat = (tid >= 0).reshape(-1)
-    n = flat.shape[0]
-    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-    tgt = jnp.where(flat & (pos < cap), pos, cap)
-    sel = jnp.full((cap,), -1, jnp.int32).at[tgt].set(
-        jnp.arange(n, dtype=jnp.int32), mode="drop")
-    total = pos[-1] + 1
-    return sel, jnp.maximum(total - cap, 0)
+    """compact_mask over the covered (tid >= 0) pixels — the
+    transparent/masked buckets cover a few percent of the frame, so their
+    peel shading runs on the compacted set (round-1 shaded 2M pixels per
+    peel densely: 6.0 s of the 11.3 s frame)."""
+    from ..ops.common import compact_mask
+    return compact_mask(tid >= 0, cap)
 
 
 def _sparse_pixels(sel: jax.Array, tid: jax.Array, width: int):
@@ -538,10 +534,13 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
         selc, tid_s, px, py = _sparse_pixels(sel, tidt, w)
         gbuf = _build_gbuffer(scene, scene_data, tid_s, rows, vattr, vpos,
                               px, py)
-        rgb, alpha = shader(gbuf, scene, scene_data, shadow_maps,
-                            scene_data["sunlight_direction"][3],
-                            (scene_data["sunlight_color"][3]
-                             if cfg.enable_shadows else False))
+        rgb, alpha, sp_sh = shader(
+            gbuf, scene, scene_data, shadow_maps,
+            scene_data["sunlight_direction"][3],
+            (scene_data["sunlight_color"][3]
+             if cfg.enable_shadows else False),
+            shadow_sparse_cap=max(8192, (cap * 5) // 8))
+        sparse_ovf = sparse_ovf + sp_sh
         contrib = (tid_s >= 0) & (alpha >= 0.5)         # discard still applies
         # additive blend via scatter-add; pad slots (sel == -1) are routed
         # out of bounds POSITIVELY (w*h) so mode="drop" discards them

@@ -170,10 +170,11 @@ def profile_passes(scene, scene_data: dict, settings: dict,
 
     def stage_shade(gbuf, scene, sd, shadow_maps):
         shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
+        cap_sh = cfg.shadow_sparse_cap or max(8192, (w * h * 5) // 8)
         return shader(gbuf, scene, sd, shadow_maps,
                       sd["sunlight_direction"][3],
                       (sd["sunlight_color"][3] if cfg.enable_shadows
-                       else False))
+                       else False), shadow_sparse_cap=cap_sh)
 
     if cfg.enable_shadows:
         def stage_shadow(scene, world_pos, tri_visible, sd):
@@ -186,7 +187,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
                                  iters=iters)
         timings["shadow"] = ms
 
-    ms, (rgb, _alpha) = _timed(jax.jit(stage_shade), gbuf, scene, scene_data,
+    ms, (rgb, _alpha, _so) = _timed(jax.jit(stage_shade), gbuf, scene, scene_data,
                                shadow_maps, iters=iters)
     timings["shade"] = ms
 

@@ -54,3 +54,21 @@ def take_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
     """
     cols = [jnp.take(table[:, c], idx) for c in range(table.shape[1])]
     return jnp.stack(cols, axis=-1)
+
+
+def compact_mask(mask: jax.Array, cap: int):
+    """Pack the flat indices of True pixels into a static [cap] list
+    (-1 padded), in raster order; True entries beyond ``cap`` are counted
+    in the returned overflow scalar (never silently dropped).
+
+    The sparse-shading primitive: per-pixel gather cost dominates shading,
+    so restricting expensive per-pixel work (peel shading, shadow
+    filtering) to a compacted active set makes it coverage-proportional."""
+    flat = mask.reshape(-1)
+    n = flat.shape[0]
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(flat & (pos < cap), pos, cap)
+    sel = jnp.full((cap,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(n, dtype=jnp.int32), mode="drop")
+    total = pos[-1] + 1
+    return sel, jnp.maximum(total - cap, 0)

@@ -196,10 +196,40 @@ def _mat_take(table, col, idx):
     return jnp.take(table[:, col], idx)
 
 
+def _sparse_shadow_factor(shadow_maps, gbuf, scene_data, shadow_mode,
+                          enable_shadows, n_dot_l, cap: int):
+    """Shadow factor restricted to the pixels where it can matter:
+    the factor only scales the direct term (Lo * n_dot_l), so pixels with
+    n_dot_l == 0 or no coverage are EXACTLY unaffected — compact those
+    out, run the (gather-heavy) filter on the short list, scatter back.
+    Active pixels beyond ``cap`` are counted in the returned overflow
+    (their factor falls back to 0 = lit)."""
+    from .common import compact_mask
+    if enable_shadows is False:
+        return jnp.zeros_like(n_dot_l), jnp.int32(0)
+    mask = gbuf["covered"] & (n_dot_l > 0.0)
+    sel, ovf = compact_mask(mask, cap)
+    selc = jnp.maximum(sel, 0)
+
+    def g(name):
+        return jnp.take(gbuf[name].reshape(-1), selc)
+
+    f_s = compute_shadow_factor(shadow_maps, g("wx"), g("wy"), g("wz"),
+                                g("view_z"), scene_data, shadow_mode,
+                                enable_shadows)
+    n = n_dot_l.size
+    tgt = jnp.where(sel >= 0, sel, n)
+    shadow = jnp.zeros((n,), jnp.float32).at[tgt].set(f_s, mode="drop")
+    return shadow.reshape(n_dot_l.shape), ovf
+
+
 def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
-              shadow_mode: int, enable_shadows: bool):
+              shadow_mode: int, enable_shadows: bool,
+              shadow_sparse_cap: int | None = None):
     """mesh_pbr.frag main (185-226) over the planar G-buffer.
-    Returns ((r, g, b), albedo_alpha), all planar [H, W]."""
+    Returns ((r, g, b), albedo_alpha), all planar [H, W] — plus a
+    shadow-compaction overflow scalar when ``shadow_sparse_cap`` is set
+    (see _sparse_shadow_factor)."""
     nx, ny, nz = _normalize3(gbuf["nx"], gbuf["ny"], gbuf["nz"])
     cam = scene_data["cam_pos"]
     vx, vy, vz = _normalize3(cam[0] - gbuf["wx"], cam[1] - gbuf["wy"],
@@ -211,13 +241,20 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
     hx, hy, hz = _normalize3(vx + lx, vy + ly, vz + lz)
 
     mat_id = gbuf["mat_id"]
-    albedo_id = _mat_take(scene.mat_tex_ids, 0, mat_id)
-    mr_id = _mat_take(scene.mat_tex_ids, 2, mat_id)
-    cf_r = _mat_take(scene.mat_color_factors, 0, mat_id)
-    cf_g = _mat_take(scene.mat_color_factors, 1, mat_id)
-    cf_b = _mat_take(scene.mat_color_factors, 2, mat_id)
-    metal_f = _mat_take(scene.mat_metal_rough, 0, mat_id)
-    rough_f = _mat_take(scene.mat_metal_rough, 1, mat_id)
+    # ONE [M, 8] row-gather replaces 7 per-pixel column takes (ids are
+    # exact in f32 below 2^24; the table stack over ~hundreds of
+    # materials is free)
+    mrow = jnp.stack(
+        [scene.mat_tex_ids[:, 0].astype(jnp.float32),
+         scene.mat_tex_ids[:, 2].astype(jnp.float32),
+         scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
+         scene.mat_color_factors[:, 2], scene.mat_metal_rough[:, 0],
+         scene.mat_metal_rough[:, 1],
+         jnp.zeros_like(scene.mat_color_factors[:, 0])], axis=-1)[mat_id]
+    albedo_id = mrow[..., 0].astype(jnp.int32)
+    mr_id = mrow[..., 1].astype(jnp.int32)
+    cf_r, cf_g, cf_b = mrow[..., 2], mrow[..., 3], mrow[..., 4]
+    metal_f, rough_f = mrow[..., 5], mrow[..., 6]
 
     at_r, at_g, at_b, at_a = tex.sample_trilinear(
         scene.textures, albedo_id, gbuf["u"], gbuf["v"],
@@ -266,25 +303,37 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
     lo_b = (kd_b * alb_b / PI + spec_b) * n_dot_l * rad[2]
 
     amb = scene_data["ambient_color"]
-    shadow = compute_shadow_factor(shadow_maps, gbuf["wx"], gbuf["wy"],
-                                   gbuf["wz"], gbuf["view_z"], scene_data,
-                                   shadow_mode, enable_shadows)
+    if shadow_sparse_cap is None:
+        shadow = compute_shadow_factor(shadow_maps, gbuf["wx"], gbuf["wy"],
+                                       gbuf["wz"], gbuf["view_z"],
+                                       scene_data, shadow_mode,
+                                       enable_shadows)
+        sp_ovf = None
+    else:
+        shadow, sp_ovf = _sparse_shadow_factor(
+            shadow_maps, gbuf, scene_data, shadow_mode, enable_shadows,
+            n_dot_l, shadow_sparse_cap)
     lit = 1.0 - shadow
     out_r = amb[0] * alb_r + lo_r * lit
     out_g = amb[1] * alb_g + lo_g * lit
     out_b = amb[2] * alb_b + lo_b * lit
-    return (out_r, out_g, out_b), at_a
+    if sp_ovf is None:
+        return (out_r, out_g, out_b), at_a
+    return (out_r, out_g, out_b), at_a, sp_ovf
 
 
 def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
-               shadow_mode: int, enable_shadows: bool):
+               shadow_mode: int, enable_shadows: bool,
+               shadow_sparse_cap: int | None = None):
     """mesh.frag main (124-182): Lambert + ambient with the same shadow
     library and alpha handling."""
     mat_id = gbuf["mat_id"]
-    albedo_id = _mat_take(scene.mat_tex_ids, 0, mat_id)
-    cf_r = _mat_take(scene.mat_color_factors, 0, mat_id)
-    cf_g = _mat_take(scene.mat_color_factors, 1, mat_id)
-    cf_b = _mat_take(scene.mat_color_factors, 2, mat_id)
+    mrow = jnp.stack(
+        [scene.mat_tex_ids[:, 0].astype(jnp.float32),
+         scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
+         scene.mat_color_factors[:, 2]], axis=-1)[mat_id]
+    albedo_id = mrow[..., 0].astype(jnp.int32)
+    cf_r, cf_g, cf_b = mrow[..., 1], mrow[..., 2], mrow[..., 3]
     at_r, at_g, at_b, at_a = tex.sample_trilinear(
         scene.textures, albedo_id, gbuf["u"], gbuf["v"],
         gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"])
@@ -299,13 +348,22 @@ def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
     lx, ly, lz = -sun[0] * inv_sun, -sun[1] * inv_sun, -sun[2] * inv_sun
     n_dot_l = jnp.maximum(nx * lx + ny * ly + nz * lz, 0.0)
 
-    shadow = compute_shadow_factor(shadow_maps, gbuf["wx"], gbuf["wy"],
-                                   gbuf["wz"], gbuf["view_z"], scene_data,
-                                   shadow_mode, enable_shadows)
+    if shadow_sparse_cap is None:
+        shadow = compute_shadow_factor(shadow_maps, gbuf["wx"], gbuf["wy"],
+                                       gbuf["wz"], gbuf["view_z"],
+                                       scene_data, shadow_mode,
+                                       enable_shadows)
+        sp_ovf = None
+    else:
+        shadow, sp_ovf = _sparse_shadow_factor(
+            shadow_maps, gbuf, scene_data, shadow_mode, enable_shadows,
+            n_dot_l, shadow_sparse_cap)
     lit = 1.0 - shadow
     rad = scene_data["sunlight_color"]
     amb = scene_data["ambient_color"]
     out_r = n_dot_l * col_r * rad[0] * lit + amb[0] * col_r
     out_g = n_dot_l * col_g * rad[1] * lit + amb[1] * col_g
     out_b = n_dot_l * col_b * rad[2] * lit + amb[2] * col_b
-    return (out_r, out_g, out_b), at_a
+    if sp_ovf is None:
+        return (out_r, out_g, out_b), at_a
+    return (out_r, out_g, out_b), at_a, sp_ovf
