@@ -71,9 +71,10 @@ class FrameConfig:
     # vector of passes ping-ponged over two images — here each entry maps a
     # [3, H, W] image to the next, resolved via POSTPROCESS_REGISTRY)
     post_chain: tuple = ("tonemap",)
-    # sparse-shading capacity for the masked/transparent buckets (0 = auto:
-    # 1/4 of the frame — the procedural scene's additive panes cover ~15%
-    # per peel); pixels beyond it are counted in sparse_overflow
+    # sparse-shading capacity for the masked/transparent buckets (0 =
+    # auto: 1/3 of the frame for the masked foliage — measured 25% at the
+    # bench camera — and 1/8 for transparent); overflow is counted in
+    # sparse_overflow
     sparse_cap: int = 0
     # shadow-filter compaction capacity (0 = auto: 5/8 of the shaded
     # domain) — the filter only matters where covered & n_dot_l > 0;
@@ -162,7 +163,9 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     w, h = cfg.width, cfg.height
     n_tris = scene.tris[0].shape[0]
     no_id = jnp.full((h, w), -1, jnp.int32)
-    cap = cfg.sparse_cap or max(8192, (w * h) // 4)
+    # the foliage quads are the widest sparse bucket (measured 25% of the
+    # frame at the bench camera)
+    cap = cfg.sparse_cap or max(8192, (w * h) // 3)
 
     floor = None
     sparse_ovf = jnp.int32(0)
@@ -517,7 +520,7 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
     w, h = cfg.width, cfg.height
     n_tris = scene.tris[0].shape[0]
     no_id = jnp.full((h, w), -1, jnp.int32)
-    cap = cfg.sparse_cap or max(8192, (w * h) // 4)
+    cap = cfg.sparse_cap or max(8192, (w * h) // 8)
 
     shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
 
@@ -539,7 +542,7 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
             scene_data["sunlight_direction"][3],
             (scene_data["sunlight_color"][3]
              if cfg.enable_shadows else False),
-            shadow_sparse_cap=max(8192, (cap * 5) // 8))
+            shadow_sparse_cap=cap)  # the compact list can be fully active
         sparse_ovf = sparse_ovf + sp_sh
         contrib = (tid_s >= 0) & (alpha >= 0.5)         # discard still applies
         # additive blend via scatter-add; pad slots (sel == -1) are routed
