@@ -248,13 +248,21 @@ class TestConfig5SponzaLike:
         cam = Camera(position=np.array([0, 1.7, 0], np.float32))
         s = RenderSettings(enable_shadows=True, shadow_mode=3,
                            enable_postprocess=True)
+        # 3 peel layers: at this tiny resolution the overlapping foliage
+        # quads leave ~140 pixels with a 3rd masked layer, which the
+        # peel_overflow counter correctly reports at the default 2
         cfg = small_cfg(enable_shadows=True,
                         cap_opaque=4096, raster_chunk=64,
-                        shadow_cap=4096, shadow_size=512)
+                        shadow_cap=4096, shadow_size=512,
+                        masked_peels=3, transparent_peels=3)
         out = driver.render(scene, cam, s, cfg)
         color = np.asarray(out["color"])
         assert np.all(np.isfinite(color))
+        # every silent-approximation counter must be zero (SURVEY'S
+        # "scariest correctness trap"): bins, peel depth, sparse caps
         assert int(out["stats"]["bin_overflow"]) == 0
+        assert int(out["stats"]["peel_overflow"]) == 0
+        assert int(out["stats"]["sparse_overflow"]) == 0
         # indoor scene: most of the frame covered
         covered = (np.asarray(out["depth"]) < 1.0).mean()
         assert covered > 0.5

@@ -56,7 +56,8 @@ def main():
         # fast path (pallas on TPU)
         ops_common.on_tpu.cache_clear()
         out_fast = driver.render(scene, cam, settings, cfg)
-        fast = np.asarray(out_fast["color"])
+        # u8 readback: bulk f32 D2H through the TPU tunnel is ~0.5 MB/s
+        fast = np.asarray(out_fast["color_u8"]).astype(np.float32) / 255.0
         # force XLA reference path
         import vk_renderer_tpu.ops.common as oc
         orig = oc.on_tpu
@@ -67,7 +68,7 @@ def main():
             import dataclasses
             cfg2 = dataclasses.replace(cfg, raster_chunk=16)
             out_ref = driver.render(scene, cam, settings, cfg2)
-            ref = np.asarray(out_ref["color"])
+            ref = np.asarray(out_ref["color_u8"]).astype(np.float32) / 255.0
         finally:
             oc.on_tpu = orig
         db = psnr(fast, ref)

@@ -55,11 +55,13 @@ class FrameConfig:
     masked_chunk: int = 8
     transparent_peels: int = 2
     masked_peels: int = 2
-    # occupancy-packed record caps (TPU path; auto-shrunk to scene size)
-    rec_opaque: int = 8192
-    rec_masked: int = 4096
-    rec_transparent: int = 2048
-    rec_shadow: int = 4096
+    # occupancy-packed record caps (TPU path; auto-shrunk to scene size).
+    # Record-build cost is proportional to the STATIC cap, and truncation
+    # is counted in bin_overflow — sized ~5x above bench-scene occupancy
+    rec_opaque: int = 4096
+    rec_masked: int = 2048
+    rec_transparent: int = 1024
+    rec_shadow: int = 2048
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     # compiles the shadow SUBSYSTEM in (pipelines-at-init analog); the
     # per-frame on/off and filter mode are TRACED scene_data channels
@@ -76,9 +78,10 @@ class FrameConfig:
     # bench camera — and 1/8 for transparent); overflow is counted in
     # sparse_overflow
     sparse_cap: int = 0
-    # shadow-filter compaction capacity (0 = auto: 5/8 of the shaded
-    # domain) — the filter only matters where covered & n_dot_l > 0;
-    # overflow is counted in sparse_overflow
+    # OPT-IN shadow-filter compaction capacity (0 = dense/exact).  The
+    # filter only matters where covered & n_dot_l > 0, but that set is
+    # 80-90% of the frame for interior views, so there is no safe default
+    # cap; overflow beyond an explicit cap is counted in sparse_overflow
     shadow_sparse_cap: int = 0
 
 
@@ -360,11 +363,17 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     shadow_mode_t = scene_data["sunlight_direction"][3]
     enable_shadows_t = (scene_data["sunlight_color"][3]
                         if cfg.enable_shadows else False)
-    cap_sh = cfg.shadow_sparse_cap or max(8192, (w * h * 5) // 8)
-    rgb, _alpha, sp_sh = shader(gbuf, scene, scene_data, shadow_maps,
-                                shadow_mode_t, enable_shadows_t,
-                                shadow_sparse_cap=cap_sh)
-    sparse_overflow = sparse_overflow + sp_sh
+    # shadow compaction is OPT-IN (cfg.shadow_sparse_cap > 0): interior
+    # views have ~80-90% of covered pixels sun-facing, so no safe default
+    # cap is materially smaller than the frame — dense is exact
+    if cfg.shadow_sparse_cap > 0:
+        rgb, _alpha, sp_sh = shader(gbuf, scene, scene_data, shadow_maps,
+                                    shadow_mode_t, enable_shadows_t,
+                                    shadow_sparse_cap=cfg.shadow_sparse_cap)
+        sparse_overflow = sparse_overflow + sp_sh
+    else:
+        rgb, _alpha = shader(gbuf, scene, scene_data, shadow_maps,
+                             shadow_mode_t, enable_shadows_t)
 
     # ---- compose onto background (clear (0,0,0) or gradient;
     #      vk_engine_run.cpp:246-248)

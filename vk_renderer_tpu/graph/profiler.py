@@ -170,7 +170,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
 
     def stage_shade(gbuf, scene, sd, shadow_maps):
         shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
-        cap_sh = cfg.shadow_sparse_cap or max(8192, (w * h * 5) // 8)
+        cap_sh = cfg.shadow_sparse_cap if cfg.shadow_sparse_cap > 0 else None
         return shader(gbuf, scene, sd, shadow_maps,
                       sd["sunlight_direction"][3],
                       (sd["sunlight_color"][3] if cfg.enable_shadows
@@ -187,8 +187,9 @@ def profile_passes(scene, scene_data: dict, settings: dict,
                                  iters=iters)
         timings["shadow"] = ms
 
-    ms, (rgb, _alpha, _so) = _timed(jax.jit(stage_shade), gbuf, scene, scene_data,
+    ms, _shade_out = _timed(jax.jit(stage_shade), gbuf, scene, scene_data,
                                shadow_maps, iters=iters)
+    rgb = _shade_out[0]
     timings["shade"] = ms
 
     # ---- stage: background + skybox compose
