@@ -20,10 +20,14 @@ the same scene):
 3. per-(tile, bucket) offsets via searchsorted — bucket ranges are static
    tri-id intervals, so a bucket's slice of a tile's list is just two
    binary searches; no per-bucket re-sort,
-4. triangles spanning more than ``max_span`` tiles go to a small global
-   per-bucket "big list" appended at the FRONT of every tile's slots
-   (screen-filling floors/walls; their ordering relative to small ones
-   only matters for exact-depth ties).
+4. triangles spanning more than ``max_span`` tiles (screen-filling floors,
+   grazing wall slivers, and near-plane-crossing triangles whose 2DH bbox
+   is conservatively the whole viewport) get EXACT per-tile coverage
+   tests against their edge functions (conservative tile-corner test) and
+   emit keys into the SAME sort — so a triangle only lands in tiles it
+   can actually touch, draw order within a tile stays ascending-id, and
+   no tile rasters a global big list.  Callers that cannot supply edge
+   coefficients fall back to the legacy front-of-tile big list.
 
 Returns bins filled with ``T`` (sentinel, one past the last triangle) in
 empty slots — callers pad per-triangle arrays with a zero sentinel row.
@@ -39,9 +43,69 @@ import jax.numpy as jnp
 from .common import cdiv
 
 
+def _big_exact_keys(edge, anchor, bbox, big, tri_ids, rows: int, cols: int,
+                    tile_w: int, tile_h: int, big_cap: int, log2p: int,
+                    n_tiles: int):
+    """EXACT (tile, tri) keys for up to ``big_cap`` big triangles.
+
+    For each (big triangle, tile) pair, evaluate the conservative
+    triangle-vs-rectangle test on the 2DH edge functions: an edge excludes
+    the tile iff its maximum over the tile rectangle is negative, and the
+    maximizing corner is picked by the coefficient signs.  The pass set is
+    a superset of the per-pixel raster test, so no covered pixel is ever
+    lost; a triangle whose bbox exploded to the whole viewport (near-plane
+    crossing) still only lands in tiles its edges admit.  The tile's bbox
+    overlap additionally prunes ordinary large triangles.
+
+    Cost: big_cap * n_tiles elementwise ops + that many extra sort keys —
+    at 1080p (510 tiles, cap 1024) ~0.5M keys next to the ~4M bbox pairs.
+    """
+    sentinel_key = jnp.int32(n_tiles << log2p)
+    bigi = big.astype(jnp.int32)
+    big_idx = jnp.cumsum(bigi) - 1
+    big_total = jnp.sum(bigi)
+    pos = jnp.where(big & (big_idx < big_cap), big_idx, big_cap)
+    slot_tri = jnp.full((big_cap,), -1, jnp.int32).at[pos].set(
+        tri_ids, mode="drop", unique_indices=True)
+    ok = slot_tri >= 0
+    st = jnp.maximum(slot_tri, 0)
+
+    def g(plane):
+        return jnp.take(plane, st)[:, None]              # [big_cap, 1]
+
+    ax, ay = g(anchor[0]), g(anchor[1])
+    tx = (jnp.arange(n_tiles, dtype=jnp.int32) % cols).astype(jnp.float32)
+    ty = (jnp.arange(n_tiles, dtype=jnp.int32) // cols).astype(jnp.float32)
+    x0 = (tx * tile_w)[None, :]                          # [1, n_tiles]
+    x1 = x0 + tile_w
+    y0 = (ty * tile_h)[None, :]
+    y1 = y0 + tile_h
+
+    covered = ok[:, None]
+    for i in range(3):
+        a, b, c = g(edge[3 * i]), g(edge[3 * i + 1]), g(edge[3 * i + 2])
+        mx = (a * (jnp.where(a > 0, x1, x0) - ax)
+              + b * (jnp.where(b > 0, y1, y0) - ay) + c)
+        covered = covered & (mx >= 0.0)
+    # bbox overlap prune (cheap; bbox is conservative, incl. the
+    # full-viewport case)
+    bx0, by0, bx1, by1 = (g(p) for p in bbox)
+    covered = covered & (x1 > bx0) & (x0 < bx1) & (y1 > by0) & (y0 < by1)
+
+    tile_id = jnp.arange(n_tiles, dtype=jnp.int32)[None, :]
+    keys = jnp.where(covered, (tile_id << log2p) | st[:, None],
+                     sentinel_key)
+    return keys.reshape(-1), big_total
+
+
 def _pair_sort(bbox, valid, width: int, height: int, tile_w: int,
-               tile_h: int, max_span: int):
-    """Shared core: pack (tile, tri) pairs into int32 keys and sort."""
+               tile_h: int, max_span: int, edge=None, anchor=None,
+               big_cap: int = 512):
+    """Shared core: pack (tile, tri) pairs into int32 keys and sort.
+    With ``edge``/``anchor`` given, big triangles contribute EXACT pairs
+    to the same sort (see _big_exact_keys) and the returned ``big`` mask
+    is all-False; otherwise callers handle big triangles via the legacy
+    front-of-tile list."""
     bx0, by0, bx1, by1 = bbox
     n_tris = bx0.shape[0]
     rows = cdiv(height, tile_h)
@@ -71,9 +135,17 @@ def _pair_sort(bbox, valid, width: int, height: int, tile_w: int,
     pair_ok = small[:, None] & (k < span[:, None])
     keys = jnp.where(pair_ok, (tile_id << log2p) | tri_ids[:, None],
                      jnp.int32(n_tiles << log2p)).reshape(-1)
+    big_exact_total = None
+    if edge is not None:
+        big_keys, big_exact_total = _big_exact_keys(
+            edge, anchor, bbox, big, tri_ids, rows, cols, tile_w, tile_h,
+            big_cap, log2p, n_tiles)
+        keys = jnp.concatenate([keys, big_keys])
+        big = jnp.zeros_like(big)
     keys_s = jax.lax.sort(keys)
     tris_s = keys_s & ((1 << log2p) - 1)
-    return keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles
+    return (keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles,
+            big_exact_total)
 
 
 def _bucket_big_list(big, tri_ids, lo, hi, big_cap, sentinel):
@@ -90,29 +162,18 @@ def _bucket_big_list(big, tri_ids, lo, hi, big_cap, sentinel):
 
 
 @partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
-                                   "bounds", "caps", "max_span", "big_cap"))
-def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
-                          height: int, tile_w: int = 128, tile_h: int = 32,
-                          caps=(2048,), max_span: int = 16,
-                          big_cap: int = 512):
-    """Bin all buckets of a view with ONE pair sort (dense-bins form).
-
-    bbox: (x0, y0, x1, y1) planar over T (a 2-D [T, 4] array is also
-    accepted).  ``bounds``: static tuple of (lo, hi) triangle-id ranges,
-    one per bucket (ranges are how the scene stores material passes —
-    SceneArrays tris are sorted [opaque | masked | transparent]).
-    ``caps``: per-bucket per-tile capacity.
-
-    Returns a tuple, one per bucket, of
-    (bins i32[rows, cols, cap + big_cap], counts i32[rows, cols],
-    overflow i32).
-    """
-    if not isinstance(bbox, (tuple, list)):
-        bbox = [bbox[:, c] for c in range(4)]
+                                   "bounds", "caps", "max_span", "big_cap",
+                                   "has_edges"))
+def _bin_triangles_buckets_impl(bbox, valid: jax.Array, bounds, width: int,
+                                height: int, tile_w: int, tile_h: int,
+                                caps, max_span: int, big_cap: int,
+                                edge, anchor, has_edges: bool):
     n_tris = bbox[0].shape[0]
     sentinel = n_tris
-    keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles = _pair_sort(
-        tuple(bbox), valid, width, height, tile_w, tile_h, max_span)
+    (keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles,
+     big_exact_total) = _pair_sort(
+        tuple(bbox), valid, width, height, tile_w, tile_h, max_span,
+        edge=edge if has_edges else None, anchor=anchor, big_cap=big_cap)
 
     tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
     out = []
@@ -123,12 +184,23 @@ def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
             keys_s, (tile_range << log2p) + hi, side="left").astype(jnp.int32)
         counts = ends - offsets
 
-        # big triangles are placed at the FRONT of every tile's slots so
-        # the dynamic chunk bound always covers them with no sentinel gaps
-        big_list, big_eff, big_total = _bucket_big_list(
-            big, tri_ids, lo, hi, big_cap, sentinel)
+        if has_edges:
+            # exact mode: big pairs are already in the sorted keys, in
+            # ascending-id (submission) order; the whole cap+big_cap slot
+            # range serves the merged per-tile lists
+            big_eff = jnp.int32(0)
+            big_list = jnp.full((big_cap,), sentinel, jnp.int32)
+            cap_eff = cap + big_cap
+            big_drop = jnp.maximum(big_exact_total - big_cap, 0) * n_tiles
+        else:
+            # legacy: big triangles at the FRONT of every tile's slots so
+            # the dynamic chunk bound covers them with no sentinel gaps
+            big_list, big_eff, big_total = _bucket_big_list(
+                big, tri_ids, lo, hi, big_cap, sentinel)
+            cap_eff = cap
+            big_drop = jnp.maximum(big_total - big_cap, 0) * n_tiles
 
-        counts_small = jnp.minimum(counts, cap)
+        counts_small = jnp.minimum(counts, cap_eff)
         slot = jnp.arange(cap + big_cap, dtype=jnp.int32)[None, :]
         is_big = slot < big_eff
         small_slot = slot - big_eff
@@ -139,44 +211,53 @@ def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
             is_big, big_list[jnp.clip(slot, 0, big_cap - 1)],
             jnp.where(small_ok, tris_s[gather_idx], sentinel))
 
-        overflow = (jnp.sum(jnp.maximum(counts - cap, 0))
-                    + jnp.maximum(big_total - big_cap, 0) * n_tiles)
+        overflow = jnp.sum(jnp.maximum(counts - cap_eff, 0)) + big_drop
         out.append((bins.reshape(rows, cols, cap + big_cap),
                     (counts_small + big_eff).reshape(rows, cols), overflow))
     return tuple(out)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
-                                   "bounds", "caps", "rec_caps", "chunk",
-                                   "max_span", "big_cap"))
-def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
-                       height: int, tile_w: int = 128, tile_h: int = 32,
-                       caps=(2048,), rec_caps=(4096,), chunk: int = 64,
-                       max_span: int = 16, big_cap: int = 512):
-    """Occupancy-packed per-bucket raster work lists (the TPU-path form).
+def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
+                          height: int, tile_w: int = 128, tile_h: int = 32,
+                          caps=(2048,), max_span: int = 16,
+                          big_cap: int = 512, edge=None, anchor=None):
+    """Bin all buckets of a view with ONE pair sort (dense-bins form).
 
-    Instead of a dense ``[n_tiles, cap]`` bin table (whose per-slot record
-    gather cost scales with n_tiles * cap regardless of occupancy — the
-    round-1 shadow pass built 285 MB of records per cascade this way),
-    each bucket's per-tile candidate lists are packed back-to-back into
-    ``rec_cap`` chunk-aligned records of ``chunk`` slots; the raster
-    kernel DMAs records ``rec_start[tile] + k``.  Total record-gather cost
-    now tracks actual bin occupancy, with ``rec_cap`` a static safety cap
-    (truncation is counted in ``overflow`` — never silent).
+    bbox: (x0, y0, x1, y1) planar over T (a 2-D [T, 4] array is also
+    accepted).  ``bounds``: static tuple of (lo, hi) triangle-id ranges,
+    one per bucket (ranges are how the scene stores material passes —
+    SceneArrays tris are sorted [opaque | masked | transparent]).
+    ``caps``: per-bucket per-tile capacity.  With ``edge``/``anchor``
+    (the triangle_setup planes), big triangles are binned EXACTLY into
+    only the tiles they touch (see _big_exact_keys).
 
-    Returns per bucket a dict:
-      rec_tri   i32[rec_cap * chunk]  triangle id per slot (sentinel pad)
-      rec_tile  i32[rec_cap]          owning tile per record
-      rec_start i32[n_tiles]          first record of each tile
-      counts    i32[rows, cols]       per-tile candidate count (clamped)
-      overflow  i32                   dropped candidates (cap + rec_cap)
+    Returns a tuple, one per bucket, of
+    (bins i32[rows, cols, cap + big_cap], counts i32[rows, cols],
+    overflow i32).
     """
     if not isinstance(bbox, (tuple, list)):
         bbox = [bbox[:, c] for c in range(4)]
+    has_edges = edge is not None
+    return _bin_triangles_buckets_impl(
+        tuple(bbox), valid, tuple(bounds), width, height, tile_w, tile_h,
+        tuple(caps), max_span, big_cap,
+        tuple(edge) if has_edges else (), tuple(anchor) if has_edges else (),
+        has_edges)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
+                                   "bounds", "caps", "rec_caps", "chunk",
+                                   "max_span", "big_cap", "has_edges"))
+def _bin_buckets_packed_impl(bbox, valid: jax.Array, bounds, width: int,
+                             height: int, tile_w: int, tile_h: int,
+                             caps, rec_caps, chunk: int, max_span: int,
+                             big_cap: int, edge, anchor, has_edges: bool):
     n_tris = bbox[0].shape[0]
     sentinel = n_tris
-    keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles = _pair_sort(
-        tuple(bbox), valid, width, height, tile_w, tile_h, max_span)
+    (keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles,
+     big_exact_total) = _pair_sort(
+        tuple(bbox), valid, width, height, tile_w, tile_h, max_span,
+        edge=edge if has_edges else None, anchor=anchor, big_cap=big_cap)
 
     tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
     out = []
@@ -187,10 +268,19 @@ def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
             keys_s, (tile_range << log2p) + hi, side="left").astype(jnp.int32)
         counts = ends - offsets
 
-        big_list, big_eff, big_total = _bucket_big_list(
-            big, tri_ids, lo, hi, big_cap, sentinel)
+        if has_edges:
+            # exact mode: big pairs already merged into the sorted keys
+            big_eff = jnp.int32(0)
+            big_list = jnp.full((big_cap,), sentinel, jnp.int32)
+            cap_eff = cap + big_cap
+            big_drop = jnp.maximum(big_exact_total - big_cap, 0) * n_tiles
+        else:
+            big_list, big_eff, big_total = _bucket_big_list(
+                big, tri_ids, lo, hi, big_cap, sentinel)
+            cap_eff = cap
+            big_drop = jnp.maximum(big_total - big_cap, 0) * n_tiles
 
-        counts_cap = jnp.minimum(counts, cap) + big_eff
+        counts_cap = jnp.minimum(counts, cap_eff) + big_eff
         nk = (counts_cap + chunk - 1) // chunk
         rec_start = jnp.cumsum(nk) - nk              # exclusive prefix sum
         # tiles whose record range spills past rec_cap are truncated
@@ -218,14 +308,48 @@ def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
                       tris_s[jnp.clip(src_small, 0, keys_s.shape[0] - 1)]),
             sentinel)
 
-        overflow = (jnp.sum(jnp.maximum(counts - cap, 0))
-                    + jnp.maximum(big_total - big_cap, 0) * n_tiles
+        overflow = (jnp.sum(jnp.maximum(counts - cap_eff, 0)) + big_drop
                     + jnp.sum(counts_cap - counts_fit))
         out.append({"rec_tri": tri, "rec_tile": rec_tile,
                     "rec_start": rec_start.astype(jnp.int32),
                     "counts": counts_fit.reshape(rows, cols),
                     "overflow": overflow})
     return tuple(out)
+
+
+def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
+                       height: int, tile_w: int = 128, tile_h: int = 32,
+                       caps=(2048,), rec_caps=(4096,), chunk: int = 64,
+                       max_span: int = 16, big_cap: int = 512, edge=None,
+                       anchor=None):
+    """Occupancy-packed per-bucket raster work lists (the TPU-path form).
+
+    Instead of a dense ``[n_tiles, cap]`` bin table (whose per-slot record
+    gather cost scales with n_tiles * cap regardless of occupancy — the
+    round-1 shadow pass built 285 MB of records per cascade this way),
+    each bucket's per-tile candidate lists are packed back-to-back into
+    ``rec_cap`` chunk-aligned records of ``chunk`` slots; the raster
+    kernel DMAs records ``rec_start[tile] + k``.  Total record-gather cost
+    now tracks actual bin occupancy, with ``rec_cap`` a static safety cap
+    (truncation is counted in ``overflow`` — never silent).  With
+    ``edge``/``anchor``, big triangles are binned EXACTLY into only the
+    tiles they touch (see _big_exact_keys).
+
+    Returns per bucket a dict:
+      rec_tri   i32[rec_cap * chunk]  triangle id per slot (sentinel pad)
+      rec_tile  i32[rec_cap]          owning tile per record
+      rec_start i32[n_tiles]          first record of each tile
+      counts    i32[rows, cols]       per-tile candidate count (clamped)
+      overflow  i32                   dropped candidates (cap + rec_cap)
+    """
+    if not isinstance(bbox, (tuple, list)):
+        bbox = [bbox[:, c] for c in range(4)]
+    has_edges = edge is not None
+    return _bin_buckets_packed_impl(
+        tuple(bbox), valid, tuple(bounds), width, height, tile_w, tile_h,
+        tuple(caps), tuple(rec_caps), chunk, max_span, big_cap,
+        tuple(edge) if has_edges else (), tuple(anchor) if has_edges else (),
+        has_edges)
 
 
 def bin_triangles(bbox, valid: jax.Array, width: int, height: int,

@@ -68,21 +68,25 @@ def plan_view_buckets(st: dict, bounds, width: int, height: int,
     caps, auto-shrunk to the scene's worst-case pair count."""
     from . import binning
     from .common import on_tpu
+    # triangle_setup's edge planes enable EXACT big-triangle binning
+    # (binning._big_exact_keys) — a big triangle lands only in tiles its
+    # edges admit instead of prepending to every tile's list
+    edge, anchor = st.get("edge"), st.get("anchor")
     if on_tpu():
         n_tris = st["valid"].shape[0]
         n_tiles = cdiv(width, tile_w) * cdiv(height, tile_h)
-        # worst case: every pair lands in a distinct partial chunk, plus
-        # every tile carries the full big list (chunk-rounded)
-        worst = (cdiv(n_tris * max_span, chunk)
-                 + n_tiles * (1 + cdiv(big_cap, chunk)) + 1)
+        # worst case: every pair lands in a distinct partial chunk (bbox
+        # pairs + exact big pairs)
+        worst = (cdiv(n_tris * max_span + big_cap * n_tiles, chunk)
+                 + n_tiles + 1)
         rec_caps = tuple(min(rc, worst) for rc in rec_caps)
         return binning.bin_buckets_packed(
             st["bbox"], st["valid"], bounds, width, height, tile_w=tile_w,
             tile_h=tile_h, caps=caps, rec_caps=rec_caps, chunk=chunk,
-            max_span=max_span, big_cap=big_cap)
+            max_span=max_span, big_cap=big_cap, edge=edge, anchor=anchor)
     dense = binning.bin_triangles_buckets(
         st["bbox"], st["valid"], bounds, width, height, tile_w=tile_w,
-        tile_h=tile_h, caps=caps)
+        tile_h=tile_h, caps=caps, big_cap=big_cap, edge=edge, anchor=anchor)
     return tuple({"bins": b, "counts": c, "overflow": o}
                  for (b, c, o) in dense)
 

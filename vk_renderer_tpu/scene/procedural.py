@@ -214,10 +214,18 @@ def build_sponza_like(target_tris: int = 260_000, seed: int = 7) -> SceneBuilder
         uv = np.stack([gx / nx, gy / ny], -1).reshape(-1, 2).astype(np.float32) * uv_scale
         idx = lambda i, j: i * (ny + 1) + j
         tris = []
+        # wind CCW as seen from the declared normal side, else back-face
+        # culling removes the face (the round-2 floor/ceiling were wound
+        # against their normals and vanished — sky leaked through 27% of
+        # the bench frame)
+        flip = float(np.dot(np.cross(du, dv), np.asarray(normal))) < 0.0
         for i in range(nx):
             for j in range(ny):
                 a, c2, c3, d = idx(i, j), idx(i + 1, j), idx(i + 1, j + 1), idx(i, j + 1)
-                tris.append([a, c2, c3]); tris.append([a, c3, d])
+                if flip:
+                    tris.append([a, c3, c2]); tris.append([a, d, c3])
+                else:
+                    tris.append([a, c2, c3]); tris.append([a, c3, d])
         return pos, nrm, uv, np.array(tris, np.int32)
 
     parts, mats = [], []
