@@ -248,13 +248,15 @@ class TestConfig5SponzaLike:
         cam = Camera(position=np.array([0, 1.7, 0], np.float32))
         s = RenderSettings(enable_shadows=True, shadow_mode=3,
                            enable_postprocess=True)
-        # 3 peel layers: at this tiny resolution the overlapping foliage
-        # quads leave ~140 pixels with a 3rd masked layer, which the
-        # peel_overflow counter correctly reports at the default 2
+        # deep peeling + roomy per-tile caps: the foliage stacks ~6 reject
+        # layers at grazing rays and the (few, large) tiles at this tiny
+        # resolution hold thousands of triangles each — both must resolve
+        # with ZERO overflow counters for this gate
         cfg = small_cfg(enable_shadows=True,
-                        cap_opaque=4096, raster_chunk=64,
-                        shadow_cap=4096, shadow_size=512,
-                        masked_peels=3, transparent_peels=3)
+                        cap_opaque=16384, cap_masked=512,
+                        cap_transparent=256, raster_chunk=64,
+                        shadow_cap=16384, shadow_size=512,
+                        masked_peels=8, transparent_peels=3)
         out = driver.render(scene, cam, s, cfg)
         color = np.asarray(out["color"])
         assert np.all(np.isfinite(color))
@@ -266,3 +268,41 @@ class TestConfig5SponzaLike:
         # indoor scene: most of the frame covered
         covered = (np.asarray(out["depth"]) < 1.0).mean()
         assert covered > 0.5
+
+
+class TestSparseSkybox:
+    def test_sparse_matches_dense(self, cube_scene):
+        """Compacted sky sampling must equal the dense path bit-for-bit
+        when the cap holds, and count overflow (not corrupt) when not."""
+        import jax.numpy as jnp
+        from vk_renderer_tpu.ops import skybox
+        rng = np.random.default_rng(5)
+        h, w = 40, 64
+        depth = jnp.asarray(
+            np.where(rng.random((h, w)) < 0.3, 1.0,
+                     rng.uniform(0.2, 0.99, (h, w))).astype(np.float32))
+        color = tuple(jnp.asarray(rng.random((h, w)).astype(np.float32))
+                      for _ in range(3))
+        cam = Camera()
+        view = jnp.asarray(cam.view_matrix())
+        proj = jnp.asarray(cam.projection_matrix(w / h))
+        cube = cube_scene.cubemap
+        dense, ovf_d = skybox.composite_skybox(color, depth, cube, view, proj)
+        sparse, ovf_s = skybox.composite_skybox(color, depth, cube, view,
+                                                proj, sparse_cap=h * w)
+        assert int(ovf_d) == 0 and int(ovf_s) == 0
+        for d, s in zip(dense, sparse):
+            # XLA fuses the cond branch slightly differently (FMA
+            # contraction): 1-ulp slack, invisible after u8 quantization
+            np.testing.assert_allclose(np.asarray(d), np.asarray(s),
+                                       atol=1e-6)
+        n_sky = int(np.sum(np.asarray(depth) >= 1.0))
+        tiny, ovf_t = skybox.composite_skybox(color, depth, cube, view,
+                                              proj, sparse_cap=8)
+        assert int(ovf_t) == n_sky - 8
+        # beyond-cap frames fall back to the DENSE sampler (lax.cond):
+        # still exact sky everywhere, just not sparse
+        mask = np.asarray(depth) >= 1.0
+        kept = np.asarray(tiny[0])[mask]
+        sky0 = np.asarray(dense[0])[mask]
+        np.testing.assert_allclose(kept, sky0, atol=1e-6)

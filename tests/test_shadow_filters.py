@@ -243,3 +243,110 @@ class TestCascadeSelection:
         view_z = np.array([[-1.0, -10.0]], np.float32)
         got = self._factor_for(view_z, dists, layer_depths)
         np.testing.assert_allclose(got, np.array([[1.0, 1.0]]), atol=1e-6)
+
+
+class TestClassifiedShadow:
+    """shade.classified_shadow_factor must EQUAL the dense filter on every
+    active pixel, for every mode, on maps with both large certain regions
+    (flat lit/blocked areas — the classifier's win) and fine structure
+    (penumbra-like noise — the compacted filter path)."""
+
+    def _setup(self, seed, structured, layers=4, size=256, h=16, w=24):
+        rng = np.random.default_rng(seed)
+        if structured:
+            # flat 0.25 / 0.9 half-planes + a noisy band in the middle:
+            # certain-blocked, certain-lit, and uncertain regions all exist
+            smap = np.full((layers, size, size), 0.9, np.float32)
+            smap[:, :, : size // 2] = 0.25
+            band = slice(size // 2 - 8, size // 2 + 8)
+            smap[:, :, band] = rng.uniform(
+                0.1, 0.95, size=(layers, size, 16)).astype(np.float32)
+        else:
+            smap = rng.uniform(0.1, 0.9,
+                               size=(layers, size, size)).astype(np.float32)
+        packed = _pack(smap)
+        # block 16 on the 256 test map = the production cells-per-side
+        # ratio (2048 / 64); _classify_shadow derives the block from shapes
+        coarse = tex.build_shadow_coarse(packed, block=16)
+
+        # light matrices: clip = world (identity-ish), so su = wx*0.5+0.5
+        m = np.zeros((4, 4), np.float32)
+        m[0, 0] = m[1, 1] = m[2, 2] = m[3, 3] = 1.0
+        sd = {"cascade_distances": jnp.asarray([2.0, 8.0, 22.0, 100.0],
+                                               jnp.float32),
+              "light_viewproj": jnp.asarray(np.stack([m] * 4))}
+        gbuf = {
+            "wx": jnp.asarray(rng.uniform(-1.3, 1.3, (h, w)).astype(np.float32)),
+            "wy": jnp.asarray(rng.uniform(-1.3, 1.3, (h, w)).astype(np.float32)),
+            "wz": jnp.asarray(rng.uniform(0.15, 0.97, (h, w)).astype(np.float32)),
+            "view_z": jnp.asarray(rng.uniform(0.5, 80, (h, w)).astype(np.float32)),
+            "covered": jnp.ones((h, w), bool),
+        }
+        n_dot_l = jnp.ones((h, w), jnp.float32)
+        return packed, coarse, sd, gbuf, n_dot_l
+
+    def _check_mode(self, seed, structured, mode, traced=False):
+        packed, coarse, sd, gbuf, n_dot_l = self._setup(seed, structured)
+        mode_arg = jnp.float32(mode) if traced else mode
+        en_arg = jnp.float32(1.0) if traced else True
+        want = shade.compute_shadow_factor(
+            packed, gbuf["wx"], gbuf["wy"], gbuf["wz"], gbuf["view_z"],
+            sd, mode_arg, en_arg)
+        got, ovf = shade.classified_shadow_factor(
+            packed, coarse, gbuf, sd, mode_arg, en_arg, n_dot_l,
+            cap=n_dot_l.size)
+        assert int(ovf) == 0
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"mode {mode} traced={traced} "
+                                              f"structured={structured}")
+
+    def test_exact_vs_dense_all_modes_structured(self):
+        for mode in range(4):
+            self._check_mode(10 + mode, structured=True, mode=mode)
+
+    def test_exact_vs_dense_all_modes_noise(self):
+        for mode in range(4):
+            self._check_mode(20 + mode, structured=False, mode=mode)
+
+    def test_exact_vs_dense_traced_mode(self):
+        for mode in range(4):
+            self._check_mode(30 + mode, structured=True, mode=mode,
+                             traced=True)
+
+    def test_classifier_actually_classifies(self):
+        """On the structured map the uncertain band must be well under the
+        full frame — otherwise the sparse path saves nothing."""
+        packed, coarse, sd, gbuf, n_dot_l = self._setup(42, structured=True)
+        su, sv, sz, layer = shade.shadow_coords(
+            gbuf["wx"], gbuf["wy"], gbuf["wz"], gbuf["view_z"], sd, 3)
+        lit_c, blk_c = shade._classify_shadow(coarse, su, sv, sz, layer,
+                                              packed.shape[-1], 3)
+        frac_certain = float(jnp.mean((lit_c | blk_c).astype(jnp.float32)))
+        assert frac_certain > 0.5, frac_certain
+
+    def test_overflow_counted_beyond_cap(self):
+        """Uncertain pixels beyond the cap are counted, never silent."""
+        packed, coarse, sd, gbuf, n_dot_l = self._setup(7, structured=False)
+        _, ovf_big = shade.classified_shadow_factor(
+            packed, coarse, gbuf, sd, 3, True, n_dot_l, cap=n_dot_l.size)
+        _, ovf_tiny = shade.classified_shadow_factor(
+            packed, coarse, gbuf, sd, 3, True, n_dot_l, cap=1)
+        assert int(ovf_big) == 0
+        assert int(ovf_tiny) > 0
+
+    def test_inactive_pixels_zero(self):
+        """covered=False or n_dot_l=0 pixels must come back 0 (lit) —
+        their factor never reaches the image (scales Lo * n_dot_l)."""
+        packed, coarse, sd, gbuf, n_dot_l = self._setup(3, structured=True)
+        gbuf = dict(gbuf)
+        cov = np.ones((16, 24), bool)
+        cov[:8] = False
+        gbuf["covered"] = jnp.asarray(cov)
+        ndl = np.ones((16, 24), np.float32)
+        ndl[:, :12] = 0.0
+        got, _ = shade.classified_shadow_factor(
+            packed, coarse, gbuf, sd, 3, True, jnp.asarray(ndl),
+            cap=16 * 24)
+        got = np.asarray(got)
+        assert np.all(got[:8] == 0.0)
+        assert np.all(got[:, :12] == 0.0)

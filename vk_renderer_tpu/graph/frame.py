@@ -62,12 +62,21 @@ class FrameConfig:
     rec_masked: int = 2048
     rec_transparent: int = 1024
     rec_shadow: int = 2048
+    # big-triangle capacity for EXACT big binning (near-plane-crossing
+    # floors, grazing slivers — binning._big_exact_keys); the honest bench
+    # scene has ~900 such triangles at the flagship camera
+    big_cap: int = 1024
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     # compiles the shadow SUBSYSTEM in (pipelines-at-init analog); the
     # per-frame on/off and filter mode are TRACED scene_data channels
     enable_shadows: bool = False     # vk_engine.h:116 default off
     shadow_size: int = 2048          # vk_engine.h:107
     shadow_cap: int = 4096
+    # cascades actually RASTERED (the reference bakes this into separate
+    # pipelines: modes < 3 render one cascade, vk_engine_run.cpp:336; CSM
+    # renders NUM_CASCADES).  Static — pick 1 for Hard/PCF/PCSS configs,
+    # 4 for CSM; the filters clamp their layer index to what exists.
+    shadow_cascades: int = NUM_CASCADES
     use_skybox: bool = True
     # registered postprocess chain (C19; vk_engine_init.cpp:554-596 keeps a
     # vector of passes ping-ponged over two images — here each entry maps a
@@ -83,6 +92,23 @@ class FrameConfig:
     # 80-90% of the frame for interior views, so there is no safe default
     # cap; overflow beyond an explicit cap is counted in sparse_overflow
     shadow_sparse_cap: int = 0
+    # penumbra-classified sparse shadow filtering (DEFAULT ON; exact —
+    # see shade.classified_shadow_factor): certain-lit/-blocked pixels
+    # resolve from 4 coarse fetches, only the provably-uncertain band
+    # (penumbrae + frustum edges) runs the full filter.  -1 = auto cap
+    # (1/16 of the frame), 0 = off (dense filter), >0 = explicit cap.
+    # Beyond the cap a lax.cond runs the dense filter instead — exact on
+    # every path; the miss count lands in the fallback_px stat
+    shadow_classify_cap: int = -1
+    # sparse skybox: only compacted uncovered pixels sample the cubemap
+    # (-1 = auto cap, 0 = dense, >0 explicit).  Dense lax.cond fallback
+    # beyond the cap — exact on every path (fallback_px counts misses)
+    sky_sparse_cap: int = -1
+    # gated fidelity knob: metallic-roughness texture sampled at the
+    # nearest mip (single bilinear) instead of trilinear — half its texel
+    # gathers.  Default OFF = exact; tests gate the ON path vs goldens
+    # at >= 40 dB (VERDICT r2 task 3)
+    mr_nearest_mip: bool = False
 
 
 # Per-frame host state (GPUSceneData + toggles) rides to the device as ONE
@@ -125,6 +151,30 @@ def render_frame_packed(scene, frame_vec: jax.Array, cfg: FrameConfig):
     return render_frame(scene, sd, st, cfg)
 
 
+def _resolve_classify_cap(cfg: FrameConfig) -> int:
+    """Uncertain-band capacity for classified shadow filtering: -1 = auto
+    (1/16 of the frame — the bench camera measures 0.8% uncertain, see
+    tools/measure_sparse.py + docs/PERF.md, so this is ~8x headroom;
+    compact-list gather cost is CAP-proportional, so oversizing wastes),
+    0 = off.  Beyond the cap a lax.cond falls back to the dense filter —
+    exact for every camera."""
+    if cfg.shadow_classify_cap >= 0:
+        return cfg.shadow_classify_cap
+    return max(8192, (cfg.width * cfg.height) // 16)
+
+
+def _resolve_sky_cap(cfg: FrameConfig) -> int | None:
+    """Sky-pixel capacity for sparse cubemap sampling: -1 = auto (1/3 of
+    the frame — the bench camera sees 27% sky through the roof opening,
+    tools/measure_sparse.py), 0 = dense.  Beyond the cap a lax.cond falls
+    back to the dense sampler — exact for every camera."""
+    if cfg.sky_sparse_cap == 0:
+        return None
+    if cfg.sky_sparse_cap > 0:
+        return cfg.sky_sparse_cap
+    return max(8192, (cfg.width * cfg.height) // 3)
+
+
 def _frustum_planes(viewproj: jax.Array) -> jax.Array:
     """extract_frustum_planes (vk_engine_run.cpp:420-433), in-jit."""
     m = viewproj
@@ -139,8 +189,9 @@ def _winner_alpha(scene, tid, rows, vattr, px=None, py=None):
     or a sparse compact list with explicit ``px``/``py``."""
     weights = interp.interpolation_weights_rows(tid, rows[0], rows[1],
                                                 px, py)
+    uvc = (3, 4) if scene.colors is None else (6, 7)   # vattr layout
     (u, dudx, dudy), (v, dvdx, dvdy) = interp.interp_rows_with_derivs(
-        vattr, (6, 7), weights)
+        vattr, uvc, weights)
     aid = jnp.take(scene.mat_tex_ids[:, 0], weights["mat_id"])
     (alpha,) = tex.sample_trilinear(scene.textures, aid, u, v,
                                     dudx, dvdx, dudy, dvdy, channels=(3,))
@@ -161,8 +212,10 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     a scan body XLA:TPU serializes the per-peel gathers against the loop
     state and the same work costs ~10x more (round-1 profiling: 55 ms of
     ingredients became 400+ ms per peel).  The alpha evaluation runs
-    SPARSELY on the compacted found pixels (see _transparent_pass);
-    compaction overflow is counted in ``sparse_overflow``."""
+    SPARSELY on the compacted found pixels; a foliage-filling view that
+    exceeds the cap falls back to the DENSE trilinear alpha for that peel
+    via ``lax.cond`` — exact on every path (the beyond-cap count goes to
+    ``fallback_px``, a sizing signal, not a deviation)."""
     w, h = cfg.width, cfg.height
     n_tris = scene.tris[0].shape[0]
     no_id = jnp.full((h, w), -1, jnp.int32)
@@ -170,21 +223,30 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     # frame at the bench camera)
     cap = cfg.sparse_cap or max(8192, (w * h) // 3)
 
+    def accept_sparse(t2):
+        sel, _ = _compact_covered(t2, cap)
+        selc, t2_s, px, py = _sparse_pixels(sel, t2, w)
+        alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py)
+        tgt = jnp.where(sel >= 0, sel, w * h)
+        return jnp.zeros((w * h,), bool).at[tgt].set(
+            alpha_s >= 0.5, mode="drop")
+
+    def accept_dense(t2):
+        alpha_d = _winner_alpha(scene, t2, rows, vattr)
+        return (alpha_d >= 0.5).reshape(-1)
+
     floor = None
-    sparse_ovf = jnp.int32(0)
+    fallback = jnp.int32(0)
     for _ in range(cfg.masked_peels):
         d2, t2 = raster.rasterize_plan(
             plan_m, padded, w, h, n_tris, tile_w=cfg.tile_w,
             tile_h=cfg.tile_h, chunk=cfg.masked_chunk, init_depth=depth,
             init_id=no_id, floor_depth=floor)
         found = t2 >= 0
-        sel, ovf = _compact_covered(t2, cap)
-        sparse_ovf = sparse_ovf + ovf
-        selc, t2_s, px, py = _sparse_pixels(sel, t2, w)
-        alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py)
-        tgt = jnp.where(sel >= 0, sel, w * h)
-        accept_flat = jnp.zeros((w * h,), bool).at[tgt].set(
-            alpha_s >= 0.5, mode="drop")
+        n_found = jnp.sum(found.astype(jnp.int32))
+        accept_flat = jax.lax.cond(n_found <= cap, accept_sparse,
+                                   accept_dense, t2)
+        fallback = fallback + jnp.maximum(n_found - cap, 0)
         accept = found & accept_flat.reshape(h, w)
         depth = jnp.where(accept, d2, depth)
         tid = jnp.where(accept, t2, tid)
@@ -196,7 +258,7 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         chunk=cfg.masked_chunk, init_depth=depth, init_id=no_id,
         floor_depth=floor)
     peel_ovf = jnp.sum((t3 >= 0).astype(jnp.int32))
-    return depth, tid, peel_ovf, sparse_ovf
+    return depth, tid, peel_ovf, fallback
 
 
 def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
@@ -211,11 +273,12 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
     ``out_h`` — the multi-chip sharding path)."""
     s = cfg.shadow_size
     out_h = s if out_h is None else out_h
-    # all NUM_CASCADES maps are always rastered: the shadow MODE is a
-    # traced runtime toggle (no recompile on the viewer's 1-4 keys), and
-    # for modes < 3 the host puts the single-light matrix at layer 0
-    # (scenedata.py:128-130) which is the only layer those filters read
-    n_active = NUM_CASCADES
+    # cfg.shadow_cascades maps are rastered (static, like the reference's
+    # per-mode pipelines: one cascade for Hard/PCF/PCSS, 4 for CSM).  For
+    # modes < 3 the host puts the single-light matrix at layer 0
+    # (scenedata.py:128-130) which is the only layer those filters read;
+    # the filters clamp their layer index to the rastered count.
+    n_active = min(cfg.shadow_cascades, light_viewproj.shape[0])
     n_tris = scene.tris[0].shape[0]
 
     # gather the triangle corners' WORLD positions once; each cascade only
@@ -231,7 +294,7 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
                                    cull=rsetup.CULL_FRONT, corners=corn)
         (plan,) = raster.plan_view_buckets(
             st, ((0, n_tris),), s, out_h, cfg.tile_w, cfg.tile_h,
-            (cfg.shadow_cap,), (cfg.rec_shadow,))
+            (cfg.shadow_cap,), (cfg.rec_shadow,), big_cap=cfg.big_cap)
         padded = raster.pad_setup(st)
         plan = raster.prepare_records(plan, padded, st["bbox"], s,
                                       cfg.tile_w, cfg.tile_h)
@@ -274,14 +337,19 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
             scene_data["viewproj"])
         shadow_maps = render_shadow_maps(scene, world_pos, tri_visible,
                                          scene_data["light_viewproj"], cfg)
+        shadow_coarse = (tex.build_shadow_coarse(shadow_maps)
+                         if cfg.shadow_classify_cap != 0 else None)
     else:
         shadow_maps = tex.pack_shadow_maps(
             jnp.ones((NUM_CASCADES, 1, 1), jnp.float32))
-    return render_view(scene, scene_data, settings, cfg, shadow_maps)
+        shadow_coarse = None
+    return render_view(scene, scene_data, settings, cfg, shadow_maps,
+                       shadow_coarse=shadow_coarse)
 
 
 def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
-                shadow_maps, y_offset=0.0, full_height: int | None = None):
+                shadow_maps, y_offset=0.0, full_height: int | None = None,
+                shadow_coarse=None):
     """Camera-view render (everything except the shadow pass) for a
     horizontal viewport strip of cfg.height rows starting at ``y_offset``
     within a ``full_height``-tall frame.  Single-chip path uses the whole
@@ -334,7 +402,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
         rec_caps.append(cfg.rec_transparent)
     plans = list(raster.plan_view_buckets(
         st, tuple(bounds), w, h, cfg.tile_w, cfg.tile_h, tuple(caps),
-        tuple(rec_caps)))
+        tuple(rec_caps), big_cap=cfg.big_cap))
     plan_o = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                     cfg.tile_w, cfg.tile_h)
     depth, tid = raster.rasterize_plan(plan_o, padded, w, h, n_tris,
@@ -344,14 +412,15 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     overflow = plan_o["overflow"]
     peel_overflow = jnp.int32(0)
     sparse_overflow = jnp.int32(0)
+    fallback_px = jnp.int32(0)
     if scene.n_masked > 0:
         plan_m = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                         cfg.tile_w, cfg.tile_h)
-        depth, tid, peel_m, sp_m = _masked_pass(scene, cfg, plan_m, padded,
+        depth, tid, peel_m, fb_m = _masked_pass(scene, cfg, plan_m, padded,
                                                 rows, vattr, depth, tid)
         overflow = overflow + plan_m["overflow"]
         peel_overflow = peel_overflow + peel_m
-        sparse_overflow = sparse_overflow + sp_m
+        fallback_px = fallback_px + fb_m   # exact (dense cond fallback)
 
     # ---- G-buffer interpolation (fixed-function varyings, SURVEY F3)
     gbuf = _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos)
@@ -363,17 +432,29 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     shadow_mode_t = scene_data["sunlight_direction"][3]
     enable_shadows_t = (scene_data["sunlight_color"][3]
                         if cfg.enable_shadows else False)
-    # shadow compaction is OPT-IN (cfg.shadow_sparse_cap > 0): interior
-    # views have ~80-90% of covered pixels sun-facing, so no safe default
-    # cap is materially smaller than the frame — dense is exact
-    if cfg.shadow_sparse_cap > 0:
+    # classified sparse filtering is the default (exact; only the provably
+    # uncertain penumbra band runs the full filter); plain compaction
+    # (cfg.shadow_sparse_cap) and dense remain as fallbacks
+    classify_cap = _resolve_classify_cap(cfg)
+    if shadow_coarse is not None and classify_cap > 0:
         rgb, _alpha, sp_sh = shader(gbuf, scene, scene_data, shadow_maps,
                                     shadow_mode_t, enable_shadows_t,
-                                    shadow_sparse_cap=cfg.shadow_sparse_cap)
+                                    shadow_sparse_cap=classify_cap,
+                                    shadow_coarse=shadow_coarse,
+                                    mr_nearest_mip=cfg.mr_nearest_mip)
+        # classified path is exact (dense lax.cond fallback beyond cap);
+        # the count is a cap-sizing signal, not a deviation
+        fallback_px = fallback_px + sp_sh
+    elif cfg.shadow_sparse_cap > 0:
+        rgb, _alpha, sp_sh = shader(gbuf, scene, scene_data, shadow_maps,
+                                    shadow_mode_t, enable_shadows_t,
+                                    shadow_sparse_cap=cfg.shadow_sparse_cap,
+                                    mr_nearest_mip=cfg.mr_nearest_mip)
         sparse_overflow = sparse_overflow + sp_sh
     else:
         rgb, _alpha = shader(gbuf, scene, scene_data, shadow_maps,
-                             shadow_mode_t, enable_shadows_t)
+                             shadow_mode_t, enable_shadows_t,
+                             mr_nearest_mip=cfg.mr_nearest_mip)
 
     # ---- compose onto background (clear (0,0,0) or gradient;
     #      vk_engine_run.cpp:246-248)
@@ -387,12 +468,15 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
         color.append(jnp.where(covered, rgb[c], bg_c))
     color = tuple(color)
 
-    # ---- skybox fills untouched depth (vk_engine_run.cpp:313)
+    # ---- skybox fills untouched depth (vk_engine_run.cpp:313); only the
+    # compacted sky pixels pay the cubemap gathers (interior views leave
+    # a few % of the frame uncovered; overflow counted, never silent)
     if cfg.use_skybox and scene.cubemap is not None:
-        color = skybox.composite_skybox(color, depth, scene.cubemap,
-                                        scene_data["view"], scene_data["proj"],
-                                        y_offset=y_offset,
-                                        full_height=full_height)
+        color, sky_ovf = skybox.composite_skybox(
+            color, depth, scene.cubemap, scene_data["view"],
+            scene_data["proj"], y_offset=y_offset, full_height=full_height,
+            sparse_cap=_resolve_sky_cap(cfg))
+        fallback_px = fallback_px + sky_ovf   # exact (dense cond fallback)
 
     # ---- additive transparent pass (depth peeling, order-independent sum)
     if scene.n_transparent > 0:
@@ -400,7 +484,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                                         cfg.tile_w, cfg.tile_h)
         color, peel_t, sp_t = _transparent_pass(
             scene, scene_data, settings, cfg, plan_t, padded, rows, vattr,
-            vpos, depth, shadow_maps, color)
+            vpos, depth, shadow_maps, color, shadow_coarse=shadow_coarse)
         peel_overflow = peel_overflow + peel_t
         sparse_overflow = sparse_overflow + sp_t
 
@@ -418,18 +502,22 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                       "drawcalls": stats_drawcalls,
                       "bin_overflow": overflow,
                       "peel_overflow": peel_overflow,
-                      "sparse_overflow": sparse_overflow},
+                      "sparse_overflow": sparse_overflow,
+                      # exact-path cap misses (sky / classified shadow
+                      # lax.cond dense fallbacks): a perf signal, never a
+                      # deviation
+                      "fallback_px": fallback_px},
             # apps fetch THIS with one np.asarray: one device->host pull
             # instead of five (each pull is a blocking round trip through
             # the TPU tunnel)
             "stats_vec": jnp.stack([stats_triangles, stats_drawcalls,
                                     overflow, peel_overflow,
-                                    sparse_overflow]),
+                                    sparse_overflow, fallback_px]),
             "color_u8": _to_u8_device(color)}
 
 
 STATS_KEYS = ("triangles", "drawcalls", "bin_overflow", "peel_overflow",
-              "sparse_overflow")
+              "sparse_overflow", "fallback_px")
 
 
 def stats_from_vec(vec) -> dict:
@@ -448,10 +536,21 @@ def _to_u8_device(color: jax.Array) -> jax.Array:
 
 
 def _build_vertex_rows(scene, world_pos, world_nrm):
-    """Per-frame packed vertex-attribute row tables:
-    vattr [V, 8] = nx ny nz cr cg cb u v;  vpos [V, 4] = wx wy wz pad.
-    One row-gather per corner replaces ~12 element takes (see
-    interp.build_tri_rows)."""
+    """Per-frame packed vertex-attribute row tables.
+
+    Without vertex colors (scene.colors is None — the glTF COLOR_0
+    default; Sponza-class assets): ONE 8-wide table
+      vattr [V, 8] = nx ny nz u v wx wy wz,  vpos = None
+    so the G-buffer needs 3 corner row-gathers per pixel instead of 6.
+
+    With vertex colors: vattr [V, 8] = nx ny nz cr cg cb u v;
+    vpos [V, 4] = wx wy wz pad."""
+    if scene.colors is None:
+        vattr = jnp.stack([world_nrm[0], world_nrm[1], world_nrm[2],
+                           scene.uvs[0], scene.uvs[1],
+                           world_pos[0], world_pos[1], world_pos[2]],
+                          axis=-1)
+        return vattr, None
     vattr = jnp.stack([world_nrm[0], world_nrm[1], world_nrm[2],
                        scene.colors[0], scene.colors[1], scene.colors[2],
                        scene.uvs[0], scene.uvs[1]], axis=-1)
@@ -477,11 +576,21 @@ def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos,
     corners = interp.gather_corners(vattr, vidx)
     a = interp.interp_from_corners(corners, lam)
     g["nx"], g["ny"], g["nz"] = a[0], a[1], a[2]
-    g["cr"], g["cg"], g["cb"] = a[3], a[4], a[5]
-    (g["u"], g["dudx"], g["dudy"]), (g["v"], g["dvdx"], g["dvdy"]) = \
-        interp.derivs_from_corners(corners, (6, 7), weights)
-    pz = interp.interp_rows(vpos, vidx, lam)
-    g["wx"], g["wy"], g["wz"] = pz[0], pz[1], pz[2]
+    if vpos is None:
+        # colorless 8-wide layout: nx ny nz u v wx wy wz (see
+        # _build_vertex_rows) — world position rides the SAME corner
+        # gather; vertex color folds to 1
+        one = jnp.ones_like(a[0])
+        g["cr"], g["cg"], g["cb"] = one, one, one
+        (g["u"], g["dudx"], g["dudy"]), (g["v"], g["dvdx"], g["dvdy"]) = \
+            interp.derivs_from_corners(corners, (3, 4), weights)
+        g["wx"], g["wy"], g["wz"] = a[5], a[6], a[7]
+    else:
+        g["cr"], g["cg"], g["cb"] = a[3], a[4], a[5]
+        (g["u"], g["dudx"], g["dudy"]), (g["v"], g["dvdx"], g["dvdy"]) = \
+            interp.derivs_from_corners(corners, (6, 7), weights)
+        pz = interp.interp_rows(vpos, vidx, lam)
+        g["wx"], g["wy"], g["wz"] = pz[0], pz[1], pz[2]
     view = scene_data["view"]
     g["view_z"] = (g["wx"] * view[2, 0] + g["wy"] * view[2, 1]
                    + g["wz"] * view[2, 2] + view[2, 3])
@@ -510,7 +619,7 @@ def _sparse_pixels(sel: jax.Array, tid: jax.Array, width: int):
 
 def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
                       padded, rows, vattr, vpos, opaque_depth, shadow_maps,
-                      color):
+                      color, shadow_coarse=None):
     """Additive-blend transparent geometry (vk_pipelines.cpp:108-118:
     srcAlpha*src + dst; mesh_pbr always writes alpha=1 so effectively
     ONE/ONE), depth test against opaque LESS_OR_EQUAL, depth write off —
@@ -519,30 +628,24 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
     depth-only probe counts pixels with a (K+1)-th layer ->
     ``peel_overflow``.
 
-    Each peel is shaded SPARSELY: covered pixels (a few percent of the
-    frame) are compacted to ``cfg.sparse_cap`` slots, the full PBR shader
-    (incl. CSM shadow filtering) runs on the compact list, and the result
-    scatter-adds into the framebuffer — per-pixel gathers dominate shading
-    cost, so this is ~coverage-proportional instead of frame-proportional
-    (round 1 shaded 2M pixels per peel to light a few thousand).
-    Covered pixels beyond the cap are counted in ``sparse_overflow``."""
+    Each peel is shaded SPARSELY on the compacted covered pixels; the
+    compact-list cost is CAP-proportional (pad slots gather like real
+    ones), so the cap is TIERED by the live coverage count with lax.cond:
+    most cameras see few transparent pixels (the bench camera sees zero —
+    round 2 paid ~500 ms of cap-sized shading for them) and take the
+    small-cap branch; pane-filling views fall back to the large cap.
+    Covered pixels beyond the LARGE cap are counted in
+    ``sparse_overflow``."""
     w, h = cfg.width, cfg.height
     n_tris = scene.tris[0].shape[0]
     no_id = jnp.full((h, w), -1, jnp.int32)
-    cap = cfg.sparse_cap or max(8192, (w * h) // 8)
+    cap_large = cfg.sparse_cap or max(8192, (w * h) // 8)
+    cap_small = min(cap_large, max(8192, (w * h) // 32))
 
     shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
 
-    floor = None
-    sparse_ovf = jnp.int32(0)
-    color_flat = [c.reshape(-1) for c in color]
-    for _ in range(cfg.transparent_peels):
-        d, tidt = raster.rasterize_plan(
-            plan_t, padded, w, h, n_tris, tile_w=cfg.tile_w,
-            tile_h=cfg.tile_h, chunk=cfg.raster_chunk,
-            init_depth=opaque_depth, init_id=no_id, floor_depth=floor)
+    def shade_peel(tidt, color_flat, cap):
         sel, ovf = _compact_covered(tidt, cap)
-        sparse_ovf = sparse_ovf + ovf
         selc, tid_s, px, py = _sparse_pixels(sel, tidt, w)
         gbuf = _build_gbuffer(scene, scene_data, tid_s, rows, vattr, vpos,
                               px, py)
@@ -551,16 +654,37 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
             scene_data["sunlight_direction"][3],
             (scene_data["sunlight_color"][3]
              if cfg.enable_shadows else False),
-            shadow_sparse_cap=cap)  # the compact list can be fully active
-        sparse_ovf = sparse_ovf + sp_sh
+            shadow_sparse_cap=cap,      # the compact list can be fully active
+            shadow_coarse=shadow_coarse,
+            mr_nearest_mip=cfg.mr_nearest_mip)
         contrib = (tid_s >= 0) & (alpha >= 0.5)         # discard still applies
         # additive blend via scatter-add; pad slots (sel == -1) are routed
         # out of bounds POSITIVELY (w*h) so mode="drop" discards them
         # (a raw -1 would wrap to the last pixel, numpy-style)
         tgt = jnp.where(sel >= 0, sel, w * h)
-        color_flat = [cf.at[tgt].add(jnp.where(contrib, rc, 0.0),
+        return (tuple(cf.at[tgt].add(jnp.where(contrib, rc, 0.0),
                                      mode="drop")
-                      for cf, rc in zip(color_flat, rgb)]
+                      for cf, rc in zip(color_flat, rgb)),
+                ovf + sp_sh)
+
+    floor = None
+    sparse_ovf = jnp.int32(0)
+    color_flat = tuple(c.reshape(-1) for c in color)
+    for _ in range(cfg.transparent_peels):
+        d, tidt = raster.rasterize_plan(
+            plan_t, padded, w, h, n_tris, tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h, chunk=cfg.raster_chunk,
+            init_depth=opaque_depth, init_id=no_id, floor_depth=floor)
+        if cap_small < cap_large:
+            n_cov = jnp.sum((tidt >= 0).astype(jnp.int32))
+            color_flat, ovf = jax.lax.cond(
+                n_cov <= cap_small,
+                lambda cf: shade_peel(tidt, cf, cap_small),
+                lambda cf: shade_peel(tidt, cf, cap_large),
+                color_flat)
+        else:
+            color_flat, ovf = shade_peel(tidt, color_flat, cap_large)
+        sparse_ovf = sparse_ovf + ovf
         floor = jnp.where(tidt >= 0, d, 2.0)            # peel past this layer
     _, t3 = raster.rasterize_plan(
         plan_t, padded, w, h, n_tris, tile_w=cfg.tile_w, tile_h=cfg.tile_h,

@@ -114,7 +114,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     def stage_bin(st):
         return raster.plan_view_buckets(
             st, tuple(bounds), w, h, cfg.tile_w, cfg.tile_h, tuple(caps),
-            tuple(rec_caps))
+            tuple(rec_caps), big_cap=cfg.big_cap)
 
     ms, plan_out = _timed(jax.jit(stage_bin), st, iters=iters)
     timings["bin"] = ms
@@ -170,11 +170,18 @@ def profile_passes(scene, scene_data: dict, settings: dict,
 
     def stage_shade(gbuf, scene, sd, shadow_maps):
         shader = shade.shade_pbr if cfg.shading == "pbr" else shade.shade_flat
+        classify_cap = F._resolve_classify_cap(cfg)
+        coarse = None
         cap_sh = cfg.shadow_sparse_cap if cfg.shadow_sparse_cap > 0 else None
+        if cfg.enable_shadows and classify_cap > 0:
+            coarse = _tex.build_shadow_coarse(shadow_maps)
+            cap_sh = classify_cap
         return shader(gbuf, scene, sd, shadow_maps,
                       sd["sunlight_direction"][3],
                       (sd["sunlight_color"][3] if cfg.enable_shadows
-                       else False), shadow_sparse_cap=cap_sh)
+                       else False), shadow_sparse_cap=cap_sh,
+                      shadow_coarse=coarse,
+                      mr_nearest_mip=cfg.mr_nearest_mip)
 
     if cfg.enable_shadows:
         def stage_shadow(scene, world_pos, tri_visible, sd):
@@ -206,8 +213,9 @@ def profile_passes(scene, scene_data: dict, settings: dict,
             color.append(jnp.where(covered, rgb[c], bg_c))
         color = tuple(color)
         if cfg.use_skybox and cubemap is not None:
-            color = skybox.composite_skybox(color, depth, cubemap,
-                                            sd["view"], sd["proj"])
+            color, _sky_ovf = skybox.composite_skybox(
+                color, depth, cubemap, sd["view"], sd["proj"],
+                sparse_cap=F._resolve_sky_cap(cfg))
         return color
 
     ms, color = _timed(jax.jit(stage_compose), rgb, tid, depth,
@@ -220,9 +228,13 @@ def profile_passes(scene, scene_data: dict, settings: dict,
 
         def stage_transparent(scene, sd, settings, plan_t, padded,
                               rows, vattr, vpos, depth, shadow_maps, color):
+            coarse = (_tex.build_shadow_coarse(shadow_maps)
+                      if cfg.enable_shadows
+                      and F._resolve_classify_cap(cfg) > 0 else None)
             return F._transparent_pass(scene, sd, settings, cfg, plan_t,
                                        padded, rows, vattr, vpos,
-                                       depth, shadow_maps, color)
+                                       depth, shadow_maps, color,
+                                       shadow_coarse=coarse)
 
         ms, (color, _, _sp2) = _timed(jax.jit(stage_transparent), scene,
                                 scene_data, settings, plan_t, padded,

@@ -22,14 +22,13 @@ from . import texture as tex
 from .interp import pixel_centers
 
 
-def skybox_colors(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
-                  height: int, width: int, y_offset=0.0,
-                  full_height: int | None = None):
-    """(r, g, b) planar [H, W] cubemap colors for every pixel.  ``y_offset``/
-    ``full_height`` locate a horizontal strip within the full frame (the
-    multi-chip sharding path)."""
-    full_height = height if full_height is None else full_height
-    px, py = pixel_centers(height, width)
+def skybox_colors_at(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
+                     px, py, width: int, y_offset=0.0,
+                     full_height: int = 1):
+    """(r, g, b) cubemap colors at explicit pixel centers ``px``/``py``
+    (any shape — dense [H, W] grids or a compacted 1-D list).
+    ``y_offset``/``full_height`` locate a horizontal strip within the full
+    frame (the multi-chip sharding path)."""
     ndc_x = px * (2.0 / width) - 1.0
     ndc_y = (py + y_offset) * (2.0 / full_height) - 1.0
     # view-space ray: clip.x = P00*xv, clip.y = P11*yv, w = -zv
@@ -43,12 +42,58 @@ def skybox_colors(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
     return tex.sample_cubemap(cubemap, dx, -dy, dz)   # UVW y flip
 
 
+def skybox_colors(cubemap: jax.Array, view: jax.Array, proj: jax.Array,
+                  height: int, width: int, y_offset=0.0,
+                  full_height: int | None = None):
+    """(r, g, b) planar [H, W] cubemap colors for every pixel."""
+    full_height = height if full_height is None else full_height
+    px, py = pixel_centers(height, width)
+    return skybox_colors_at(cubemap, view, proj, px, py, width, y_offset,
+                            full_height)
+
+
 def composite_skybox(color, depth: jax.Array, cubemap: jax.Array,
                      view: jax.Array, proj: jax.Array, y_offset=0.0,
-                     full_height: int | None = None):
+                     full_height: int | None = None,
+                     sparse_cap: int | None = None):
     """Overwrite pixels still at clear depth (==1.0) with the skybox
-    (depth LESS_OR_EQUAL at z=1, write off).  color: (r, g, b) planar."""
+    (depth LESS_OR_EQUAL at z=1, write off).  color: (r, g, b) planar.
+    Returns (color, overflow).
+
+    With ``sparse_cap``, the sky pixels are compacted first and only they
+    pay the 4 cubemap gathers — sky coverage is usually a small fraction
+    of the frame (interiors) while the dense path gathers 4 words for
+    every pixel.  EXACT FOR EVERY CAMERA: when the sky exceeds the cap
+    (open view, looking up), a ``lax.cond`` falls back to the dense
+    sampler — slower, never wrong.  The returned scalar counts sky pixels
+    beyond cap (a cap-sizing signal; the image never deviates)."""
     h, w = depth.shape
-    sky = skybox_colors(cubemap, view, proj, h, w, y_offset, full_height)
+    full_height = h if full_height is None else full_height
     mask = depth >= 1.0
-    return tuple(jnp.where(mask, s, c) for s, c in zip(sky, color))
+    if sparse_cap is None:
+        sky = skybox_colors(cubemap, view, proj, h, w, y_offset, full_height)
+        return (tuple(jnp.where(mask, s, c) for s, c in zip(sky, color)),
+                jnp.int32(0))
+    from .common import compact_mask
+
+    def sparse_path(args):
+        color, depth, mask = args
+        sel, _ = compact_mask(mask, sparse_cap)
+        selc = jnp.maximum(sel, 0)
+        px = (selc % w).astype(jnp.float32) + 0.5
+        py = (selc // w).astype(jnp.float32) + 0.5
+        sky = skybox_colors_at(cubemap, view, proj, px, py, w, y_offset,
+                               full_height)
+        tgt = jnp.where(sel >= 0, sel, h * w)   # pads routed out of bounds
+        return tuple(c.reshape(-1).at[tgt].set(s, mode="drop").reshape(h, w)
+                     for c, s in zip(color, sky))
+
+    def dense_path(args):
+        color, depth, mask = args
+        sky = skybox_colors(cubemap, view, proj, h, w, y_offset, full_height)
+        return tuple(jnp.where(mask, s, c) for s, c in zip(sky, color))
+
+    n_sky = jnp.sum(mask.astype(jnp.int32))
+    out = jax.lax.cond(n_sky <= sparse_cap, sparse_path, dense_path,
+                       (color, depth, mask))
+    return out, jnp.maximum(n_sky - sparse_cap, 0)

@@ -29,14 +29,18 @@ from .gatherutil import take2
 
 
 def _desc_take(offsets, sizes, tex_id, level):
-    """Per-(texture,mip) descriptor lookups via flat takes (small-table row
-    gathers are slow on TPU, see ops/common.take_rows)."""
+    """Per-(texture,mip) descriptor lookup as ONE [T*M, 4] row-gather
+    instead of three flat takes (row gathers cost per INDEX, not per
+    element, for rows <= 8 wide — see docs/PERF.md cost table; the stack
+    below is tiny, trace-time, and CSE'd across call sites).  Offsets stay
+    i32 (the heap exceeds 2^24, f32 rows would round them)."""
     max_mips = offsets.shape[1]
-    flat = tex_id * max_mips + level
-    off = jnp.take(offsets.reshape(-1), flat)
-    w = jnp.take(sizes[:, :, 0].reshape(-1), flat)
-    h = jnp.take(sizes[:, :, 1].reshape(-1), flat)
-    return off, w, h
+    rows = jnp.stack(
+        [offsets.reshape(-1), sizes[:, :, 0].reshape(-1),
+         sizes[:, :, 1].reshape(-1),
+         jnp.zeros_like(offsets.reshape(-1))], axis=-1)
+    r = rows[tex_id * max_mips + level]
+    return r[..., 0], r[..., 1], r[..., 2]
 
 
 def _unpack_rgba8(packed, srgb, channels):
@@ -93,28 +97,53 @@ def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
     return tuple(out)
 
 
-def compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy):
+def _meta_take(textures, tex_id):
+    """Per-texture (w0, h0, max_level, srgb) as ONE [T, 4] row-gather
+    (was four flat takes per sample)."""
+    rows = jnp.stack(
+        [textures.mip_sizes[:, 0, 0], textures.mip_sizes[:, 0, 1],
+         textures.n_mips - 1, textures.srgb_flags], axis=-1)
+    r = rows[tex_id]
+    return (r[..., 0].astype(jnp.float32), r[..., 1].astype(jnp.float32),
+            r[..., 2].astype(jnp.float32), r[..., 3] > 0)
+
+
+def _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy):
     """Vulkan isotropic LOD from planar UV derivatives."""
-    sizes, n_mips = textures.mip_sizes, textures.n_mips
-    w0 = jnp.take(sizes[:, 0, 0], tex_id).astype(jnp.float32)
-    h0 = jnp.take(sizes[:, 0, 1], tex_id).astype(jnp.float32)
     rho = jnp.maximum(
         jnp.sqrt((dudx * w0) ** 2 + (dvdx * h0) ** 2),
         jnp.sqrt((dudy * w0) ** 2 + (dvdy * h0) ** 2))
     lam = jnp.log2(jnp.maximum(rho, 1e-12))
-    max_level = (jnp.take(n_mips, tex_id) - 1).astype(jnp.float32)
-    return jnp.clip(lam, 0.0, max_level), max_level
+    return jnp.clip(lam, 0.0, max_level)
+
+
+def compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy):
+    """Vulkan isotropic LOD from planar UV derivatives (oracle/test entry;
+    the sampling path uses _meta_take + _lod_from_meta)."""
+    w0, h0, max_level, _ = _meta_take(textures, tex_id)
+    return _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy), \
+        max_level
 
 
 def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
-                     channels=(0, 1, 2, 3)):
+                     channels=(0, 1, 2, 3), nearest_mip: bool = False):
     """Full trilinear sample.  All per-pixel args planar [H, W].
-    Returns a tuple of [H, W] planes for the requested channels."""
-    lam, max_level = compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy)
+    Returns a tuple of [H, W] planes for the requested channels.
+
+    ``nearest_mip=True`` is the gated fidelity knob (VERDICT r2 task 3):
+    ONE bilinear sample at the rounded mip level instead of two blended
+    levels — half the texel gathers.  Off by default (exact trilinear);
+    enable only for low-frequency content behind a goldens gate."""
+    w0, h0, max_level, srgb = _meta_take(textures, tex_id)
+    lam = _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy)
+    if nearest_mip:
+        l0 = jnp.round(lam).astype(jnp.int32)
+        return _bilinear_level(textures.texels, textures.mip_offsets,
+                               textures.mip_sizes, tex_id, u, v, l0, srgb,
+                               channels)
     l0 = jnp.floor(lam).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
     frac = lam - l0.astype(jnp.float32)
-    srgb = jnp.take(textures.srgb_flags, tex_id) > 0
 
     c0 = _bilinear_level(textures.texels, textures.mip_offsets,
                          textures.mip_sizes, tex_id, u, v, l0, srgb, channels)
@@ -159,6 +188,45 @@ def pack_shadow_maps(maps: jax.Array) -> jax.Array:
 def quantize_shadow(maps: jax.Array) -> jax.Array:
     """The depth value the packed representation reproduces (for oracles)."""
     return jnp.round(jnp.clip(maps, 0.0, 1.0) * SHADOW_Q) / SHADOW_Q
+
+
+SHADOW_COARSE_BLOCK = 64   # texels per coarse min/max cell at 2048 (see below)
+
+
+def coarse_block_for(size: int) -> int:
+    """Coarse cell size for a shadow map: ~32 cells per side, clamped to
+    [16, 64].  The lower clamp keeps the widest PCSS search window
+    (~2*(0.01*S + 4) texels) within TWO consecutive cells so the
+    classifier's 2x2 gather always covers it; the upper clamp bounds the
+    uncertainty dilation around depth discontinuities (+-2 cells)."""
+    return max(16, min(SHADOW_COARSE_BLOCK, size // 32))
+
+
+def build_shadow_coarse(packed: jax.Array,
+                        block: int | None = None) -> jax.Array:
+    """Pair-packed maps i32[L, S, S] -> coarse i32[L, S/B, S/B] where each
+    word is ``min_q | max_q << 16`` over its B x B block of QUANTIZED
+    depths (the lo halfword of the packed word is the texel's own value;
+    the hi halfword is the redundant x+1 copy, so lo alone covers every
+    texel).
+
+    This is the classifier table for penumbra-classified sparse shadow
+    filtering (shade.classified_shadow_factor): min/max over a
+    conservative window bounds every bilinear tap any filter mode can
+    take, so most pixels resolve to exactly-lit or exactly-blocked with
+     4 coarse fetches instead of 32 Poisson taps.  Cheap to build: one
+    block reduction over the maps, ~free next to a single 2M-pixel
+    gather."""
+    lo = packed & 0xFFFF
+    l, s, _ = packed.shape
+    block = coarse_block_for(s) if block is None else block
+    block = min(block, s)            # tiny test maps: one cell per map
+    assert s % block == 0, "shadow size must be a multiple of the block"
+    sb = s // block
+    r = lo.reshape(l, sb, block, sb, block)
+    mn = r.min(axis=(2, 4))
+    mx = r.max(axis=(2, 4))
+    return mn | (mx << 16)
 
 
 def sample_shadow_batch(shadow_packed: jax.Array, us: jax.Array,

@@ -130,11 +130,20 @@ class SceneArrays:
         cubemap = None
         if self.cubemap is not None:
             cubemap = put(pack_rgb9e5(self.cubemap))
+        # all-ones vertex colors (glTF COLOR_0 default — true for Sponza
+        # and most assets) are represented as None on device: the shading
+        # path then folds the multiply away AND packs vertex attributes
+        # into a single 8-wide row table (3 corner gathers instead of 6
+        # per pixel, frame._build_vertex_rows)
+        colors = None
+        if self.colors is not None and not bool(
+                np.all(np.asarray(self.colors)[:, :3] == 1.0)):
+            colors = put_cols(self.colors)
         return SceneArrays(
             positions=put_cols(self.positions),
             normals=put_cols(self.normals),
             uvs=put_cols(self.uvs),
-            colors=put_cols(self.colors),
+            colors=colors,
             vert_obj=put(self.vert_obj),
             tris=put_cols(self.tris),
             tri_material=put(self.tri_material),
