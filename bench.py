@@ -92,6 +92,34 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 60.0, 4),
     }))
+    # TPU-vs-XLA parity evidence (VERDICT r2 task 4): render the bench
+    # camera through BOTH the Pallas fast path and the XLA reference path
+    # at reduced size; the PSNR goes to stderr so every BENCH capture
+    # carries cross-backend parity proof (tools/parity_check.py is the
+    # full-size manual harness).
+    import dataclasses
+    import functools
+
+    import vk_renderer_tpu.ops.common as oc
+    from vk_renderer_tpu.utils.image import psnr
+
+    pcfg = driver.config_from_settings(settings, 480, 272, shadow_size=1024)
+    fast = np.asarray(driver.render(scene, cam, settings, pcfg)["color_u8"]
+                      ).astype(np.float32) / 255.0
+    orig_on_tpu = oc.on_tpu
+    try:
+        oc.on_tpu = functools.cache(lambda: False)
+        # distinct config -> distinct jit entry for the XLA-path trace
+        # (chunk must divide the bin caps)
+        pcfg2 = dataclasses.replace(pcfg, raster_chunk=32)
+        ref = np.asarray(driver.render(scene, cam, settings, pcfg2)
+                         ["color_u8"]).astype(np.float32) / 255.0
+    finally:
+        oc.on_tpu = orig_on_tpu
+    parity_db = float(psnr(fast, ref))
+    print(json.dumps({"parity_psnr_db": parity_db,
+                      "parity_pass": parity_db >= 40.0}), file=sys.stderr)
+
     print(json.dumps({
         "frametime_ms": round(1000 * dt / n_frames, 3),
         "triangles": stats["triangles"],
@@ -99,6 +127,7 @@ def main():
         "bin_overflow": stats["bin_overflow"],
         "peel_overflow": stats["peel_overflow"],
         "sparse_overflow": stats["sparse_overflow"],
+        "fallback_px": stats["fallback_px"],
         "backend": jax.default_backend(),
         "scene_triangles": int(scene.num_triangles),
     }), file=sys.stderr)
