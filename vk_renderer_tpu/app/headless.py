@@ -67,6 +67,10 @@ def main(argv=None):
     ap.add_argument("--background", action="store_true")
     ap.add_argument("--tonemap", action="store_true")
     ap.add_argument("--flat", action="store_true", help="mesh.frag shading")
+    ap.add_argument("--overlap", type=int, default=2,
+                    help="frames in flight (the FRAME_OVERLAP=2 analog, "
+                         "vk_engine.h:10): dispatch frame N before pulling "
+                         "frame N-overlap+1's outputs; 1 = serialized")
     args = ap.parse_args(argv)
 
     import jax
@@ -85,26 +89,28 @@ def main(argv=None):
     if args.out:
         os.makedirs(args.out, exist_ok=True)
 
-    # 500 ms-style rolling frametime (vk_engine_run.cpp:26-32).
-    # The timed region is render + fence only; stats ride back as ONE
-    # packed vector and PNGs transfer pre-quantized u8 (device->host over
-    # the TPU tunnel is ~0.5 MB/s — never pull the f32 framebuffer).
+    # Frames in flight (C5 — the FRAME_OVERLAP=2 analog, vk_engine.h:10 /
+    # vk_engine_init.cpp:162-183): the host dispatches frame N and only
+    # then PULLS frame N-overlap+1's outputs, so host-side scene-data
+    # build + dispatch of the next frame overlaps device execution of the
+    # previous one.  JAX's async dispatch is the fence/semaphore machinery;
+    # the deferred np.asarray pull is the fence wait.  Stats ride back as
+    # ONE packed vector and PNGs transfer pre-quantized u8 (device->host
+    # over the TPU tunnel is ~0.5 MB/s — never pull the f32 framebuffer).
     from ..graph.frame import stats_from_vec
-    acc_t, acc_n = 0.0, 0
-    for i in range(args.frames):
-        cam = camera_path(i, args.frames)
-        t0 = time.perf_counter()
-        out = driver.render(scene, cam, settings, cfg)
-        jax.block_until_ready(out["color"])
-        dt = time.perf_counter() - t0
-        if i > 0:  # skip compile frame
-            acc_t += dt
-            acc_n += 1
-        stats = stats_from_vec(out["stats_vec"])
+    overlap = max(1, args.overlap)
+    inflight: list[tuple[int, dict]] = []
+    clock = {"last": None}
+
+    def pull(entry):
+        i, out = entry
+        stats = stats_from_vec(out["stats_vec"])  # blocks: the fence wait
+        now = time.perf_counter()
+        dt_ms = (now - clock["last"]) * 1000 if clock["last"] else 0.0
+        clock["last"] = now
         print(json.dumps({
             "frame": i,
-            "frametime_ms": round(dt * 1000, 3),
-            "fps": round(1.0 / dt, 1),
+            "frametime_ms": round(dt_ms, 3),   # pull-to-pull (pipelined)
             "triangles": stats["triangles"],
             "drawcalls": stats["drawcalls"],
             "bin_overflow": stats["bin_overflow"],
@@ -113,9 +119,28 @@ def main(argv=None):
         if args.out:
             save_png(os.path.join(args.out, f"frame_{i:04d}.png"),
                      np.asarray(out["color_u8"]))
-    if acc_n:
-        print(json.dumps({"avg_frametime_ms": round(1000 * acc_t / acc_n, 3),
-                          "avg_fps": round(acc_n / acc_t, 1)}))
+
+    t_loop = None
+    for i in range(args.frames):
+        cam = camera_path(i, args.frames)
+        out = driver.render(scene, cam, settings, cfg)
+        if i == 0:
+            # compile+warmup frame: retire synchronously, start the clock
+            jax.block_until_ready(out["color_u8"])
+            pull((0, out))
+            t_loop = time.perf_counter()
+            continue
+        inflight.append((i, out))
+        if len(inflight) >= overlap:
+            pull(inflight.pop(0))
+    while inflight:
+        pull(inflight.pop(0))
+    if args.frames > 1 and t_loop is not None:
+        total = time.perf_counter() - t_loop
+        n = args.frames - 1
+        print(json.dumps({"avg_frametime_ms": round(1000 * total / n, 3),
+                          "avg_fps": round(n / total, 2),
+                          "overlap": overlap}))
 
 
 if __name__ == "__main__":
