@@ -12,8 +12,11 @@ only GUI stack in this image); the key bindings map the reference's:
   p         toggle postprocess    q/ESC  quit
   j/l i/k   sun azimuth / elevation (ImGui Scene Lighting panel analog)
   - = [ ]   sunlight / ambient intensity
+  , .       render scale down/up (the resize_swapchain analog,
+            vk_engine.cpp:95-128 — one compile per size, then cached)
 
-Every key toggles a TRACED channel — nothing recompiles mid-session.
+Every toggle key flips a TRACED channel — nothing recompiles mid-session
+except an explicit resize, which is new static pipeline state by design.
 
 Falls back with a clear message when no display is available.
 """
@@ -65,14 +68,34 @@ def main(argv=None):
     cv2.namedWindow(win)
     cv2.setMouseCallback(win, on_mouse)
 
-    # ONE static config for the whole session: the shadow subsystem is
-    # compiled in once (enable_shadows=True) and the h / 1-4 / b / p keys
-    # flip TRACED per-frame channels — no key ever triggers a re-jit
-    # (ref: instant ImGui toggles, vk_engine_run.cpp:213-230)
+    # ONE static config per RESOLUTION: the shadow subsystem is compiled
+    # in once (enable_shadows=True) and the h / 1-4 / b / p keys flip
+    # TRACED per-frame channels — no toggle ever triggers a re-jit
+    # (ref: instant ImGui toggles, vk_engine_run.cpp:213-230).
+    #
+    # resize_swapchain analog (vk_engine.cpp:95-128): , / . step the
+    # render scale through a ladder.  A new (width, height) is new STATIC
+    # pipeline state, so the first frame at each size pays one XLA
+    # compile — the VkSwapchain + draw-image recreation cost — and the
+    # jit cache makes every revisit instant.  The display blit upscales
+    # to the window like the reference's dynamic-render-scale copy.
     from dataclasses import replace
-    cfg = replace(driver.config_from_settings(settings, args.width,
-                                              args.height),
-                  enable_shadows=True)
+    scales = (0.5, 0.75, 1.0)
+    cfg_cache: dict[int, object] = {}
+
+    def cfg_at(i: int):
+        if i not in cfg_cache:
+            # any size works (the raster kernels guard partial tiles);
+            # scale 1.0 must render exactly the requested window size
+            w = max(128, int(args.width * scales[i]))
+            h = max(64, int(args.height * scales[i]))
+            cfg_cache[i] = replace(
+                driver.config_from_settings(settings, w, h),
+                enable_shadows=True)
+        return cfg_cache[i]
+
+    scale_i = len(scales) - 1
+    cfg = cfg_at(scale_i)
 
     last = time.perf_counter()
     # 500 ms-WINDOW rolling frametime + fps, exactly the reference's
@@ -95,6 +118,11 @@ def main(argv=None):
         # device-quantized u8 + one packed stats transfer (f32 readback and
         # per-scalar stat pulls are ~100x slower over the TPU tunnel)
         img = np.asarray(out["color_u8"])[:, :, ::-1]  # RGB->BGR
+        if img.shape[:2] != (args.height, args.width):
+            # swapchain-blit upscale to the window (reference: the
+            # render-scale copy in resize_swapchain/draw)
+            img = cv2.resize(img, (args.width, args.height),
+                             interpolation=cv2.INTER_NEAREST)
         win_t += dt
         win_n += 1
         if win_t >= 0.5:                      # the 500 ms window rolls over
@@ -103,7 +131,8 @@ def main(argv=None):
             win_t, win_n = 0.0, 0
         from ..graph.frame import stats_from_vec
         stats = stats_from_vec(out["stats_vec"])
-        hud = (f"{frametime_ms:.1f} ms  {fps:.1f} fps  "
+        hud = (f"{cfg.width}x{cfg.height}  "
+               f"{frametime_ms:.1f} ms  {fps:.1f} fps  "
                f"tris {stats['triangles']}  "
                f"draws {stats['drawcalls']}  "
                f"shadows {'on' if settings.enable_shadows else 'off'}"
@@ -129,6 +158,11 @@ def main(argv=None):
             settings.enable_postprocess = not settings.enable_postprocess
         elif key in (ord("1"), ord("2"), ord("3"), ord("4")):
             settings.shadow_mode = key - ord("1")
+        elif key in (ord(","), ord(".")):          # render-scale resize
+            scale_i = int(np.clip(scale_i + (1 if key == ord(".") else -1),
+                                  0, len(scales) - 1))
+            cfg = cfg_at(scale_i)
+            win_t, win_n = 0.0, 0                  # restart the stat window
         # light editing (the ImGui Scene Lighting panel,
         # vk_engine_run.cpp:212-216) — all traced, never recompiles
         elif key in (ord("j"), ord("l")):          # rotate sun azimuth
