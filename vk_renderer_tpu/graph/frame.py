@@ -220,10 +220,14 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     n_tris = scene.tris[0].shape[0]
     no_id = jnp.full((h, w), -1, jnp.int32)
     # the foliage quads are the widest sparse bucket (measured 25% of the
-    # frame at the bench camera)
+    # frame at the bench camera) — but only on the FIRST peel; later peels
+    # only see pixels the previous peel rejected (a few % of the frame),
+    # so the compact list is TIERED by the live count (compact-list gather
+    # cost is CAP-proportional — pad slots gather like real pixels)
     cap = cfg.sparse_cap or max(8192, (w * h) // 3)
+    cap_small = min(cap, max(8192, (w * h) // 24))
 
-    def accept_sparse(t2):
+    def accept_sparse(t2, cap):
         sel, _ = _compact_covered(t2, cap)
         selc, t2_s, px, py = _sparse_pixels(sel, t2, w)
         alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py)
@@ -244,8 +248,13 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
             init_id=no_id, floor_depth=floor)
         found = t2 >= 0
         n_found = jnp.sum(found.astype(jnp.int32))
-        accept_flat = jax.lax.cond(n_found <= cap, accept_sparse,
-                                   accept_dense, t2)
+        accept_flat = jax.lax.cond(
+            n_found <= cap_small,
+            lambda t: accept_sparse(t, cap_small),
+            lambda t: jax.lax.cond(n_found <= cap,
+                                   lambda u: accept_sparse(u, cap),
+                                   accept_dense, t),
+            t2)
         fallback = fallback + jnp.maximum(n_found - cap, 0)
         accept = found & accept_flat.reshape(h, w)
         depth = jnp.where(accept, d2, depth)
