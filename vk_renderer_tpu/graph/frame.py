@@ -66,6 +66,11 @@ class FrameConfig:
     # floors, grazing slivers — binning._big_exact_keys); the honest bench
     # scene has ~900 such triangles at the flagship camera
     big_cap: int = 1024
+    # bbox-pair span threshold: triangles spanning more tiles than this go
+    # to the exact big path.  Lower = fewer sort keys (T*max_span), more
+    # big-tested triangles (big_cap*n_tiles elementwise) — a tuning
+    # trade, exact either way
+    max_span: int = 16
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     # compiles the shadow SUBSYSTEM in (pipelines-at-init analog); the
     # per-frame on/off and filter mode are TRACED scene_data channels
@@ -303,7 +308,8 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
                                    cull=rsetup.CULL_FRONT, corners=corn)
         (plan,) = raster.plan_view_buckets(
             st, ((0, n_tris),), s, out_h, cfg.tile_w, cfg.tile_h,
-            (cfg.shadow_cap,), (cfg.rec_shadow,), big_cap=cfg.big_cap)
+            (cfg.shadow_cap,), (cfg.rec_shadow,), big_cap=cfg.big_cap,
+            max_span=cfg.max_span)
         padded = raster.pad_setup(st)
         plan = raster.prepare_records(plan, padded, st["bbox"], s,
                                       cfg.tile_w, cfg.tile_h)
@@ -411,7 +417,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
         rec_caps.append(cfg.rec_transparent)
     plans = list(raster.plan_view_buckets(
         st, tuple(bounds), w, h, cfg.tile_w, cfg.tile_h, tuple(caps),
-        tuple(rec_caps), big_cap=cfg.big_cap))
+        tuple(rec_caps), big_cap=cfg.big_cap, max_span=cfg.max_span))
     plan_o = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                     cfg.tile_w, cfg.tile_h)
     depth, tid = raster.rasterize_plan(plan_o, padded, w, h, n_tris,
