@@ -243,14 +243,19 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
 
     g0x = jnp.clip(bx0, 0, sb - 1).astype(jnp.int32)
     g0y = jnp.clip(by0, 0, sb - 1).astype(jnp.int32)
-    g1x = jnp.minimum(g0x + 1, sb - 1)
     g1y = jnp.minimum(g0y + 1, sb - 1)
     flat = shadow_coarse.reshape(-1)
     base = layer * (sb * sb)
-    w00 = jnp.take(flat, base + g0y * sb + g0x)
-    w10 = jnp.take(flat, base + g0y * sb + g1x)
-    w01 = jnp.take(flat, base + g1y * sb + g0x)
-    w11 = jnp.take(flat, base + g1y * sb + g1x)
+    # x-adjacent cells ride take2 consecutive-pair fetches (2 row-gathers
+    # per pair vs 2 flat takes); the g0x == sb-1 border pair would cross
+    # into the next row, so clip it back to the edge cell (same value the
+    # clipped plain take fetched)
+    from .gatherutil import take2
+    edge_x = g0x == sb - 1
+    w00, w10 = take2(flat, base + g0y * sb + g0x)
+    w10 = jnp.where(edge_x, w00, w10)
+    w01, w11 = take2(flat, base + g1y * sb + g0x)
+    w11 = jnp.where(edge_x, w01, w11)
     inv_q = jnp.float32(1.0 / _tex.SHADOW_Q)
     mn_g = jnp.minimum(jnp.minimum(w00 & 0xFFFF, w10 & 0xFFFF),
                        jnp.minimum(w01 & 0xFFFF, w11 & 0xFFFF)
