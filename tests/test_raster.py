@@ -220,3 +220,71 @@ def test_coplanar_tie_later_draw_wins():
     covered = i >= 0
     assert covered.sum() > 100
     assert (i[covered] == 1).all(), "tie must go to the later triangle"
+
+
+class TestExactBigBinning:
+    """binning._big_exact_keys: triangles spanning > max_span tiles emit
+    exact per-tile pairs (same sort) instead of a global front-of-tile
+    list — the raster result must be identical to small-triangle binning,
+    and a big triangle must not land in tiles its edges exclude."""
+
+    def _scene(self):
+        rng = np.random.default_rng(42)
+        # a screen-filling 'floor' pair (spans every tile) + small tris
+        big = make_ortho_clip([(-10, -10), (W + 10, -10), (-10, H + 10),
+                               (W + 10, H + 10)], [0.9, 0.9, 0.9, 0.9])
+        pts = rng.uniform([0, 0], [W, H], size=(3 * 12, 2))
+        small = make_ortho_clip(pts, rng.uniform(0.1, 0.8, 3 * 12))
+        clip = np.concatenate([big, small])
+        tris = [[0, 1, 2], [1, 3, 2]] + [
+            [4 + 3 * k, 5 + 3 * k, 6 + 3 * k] for k in range(12)]
+        return clip, np.asarray(tris, np.int32)
+
+    def _raster(self, clip, tris, max_span, edge_mode):
+        st = rsetup.triangle_setup(jnp.asarray(clip, jnp.float32),
+                                   jnp.asarray(tris, jnp.int32),
+                                   jnp.ones(len(tris), bool), W, H,
+                                   cull=rsetup.CULL_NONE)
+        n = len(tris)
+        kw = dict(edge=st["edge"], anchor=st["anchor"]) if edge_mode else {}
+        (res,) = binning.bin_triangles_buckets(
+            st["bbox"], st["valid"], ((0, n),), W, H, tile_w=32, tile_h=32,
+            caps=(64,), max_span=max_span, big_cap=16, **kw)
+        bins, counts, overflow = res
+        assert int(overflow) == 0
+        padded = raster.pad_setup(st)
+        d, i = raster.rasterize_depth(padded, bins, W, H, tile_w=32,
+                                      tile_h=32, chunk=8, counts=counts)
+        return np.asarray(d), np.asarray(i), st
+
+    def test_exact_equals_all_small(self):
+        clip, tris = self._scene()
+        # max_span huge: every triangle binned via bbox pairs (reference)
+        d_ref, i_ref, _ = self._raster(clip, tris, max_span=64,
+                                       edge_mode=False)
+        # max_span 1: the floor pair (and most tris) take the exact path
+        d_x, i_x, _ = self._raster(clip, tris, max_span=1, edge_mode=True)
+        np.testing.assert_array_equal(i_ref, i_x)
+        np.testing.assert_allclose(d_ref, d_x, atol=1e-5)
+
+    def test_big_only_in_admitted_tiles(self):
+        # one big-but-thin diagonal sliver: exact mode must not place it
+        # in off-diagonal corner tiles its edges exclude
+        clip = make_ortho_clip([(-10, -6), (W + 10, H - 6),
+                                (W + 10, H + 2)], [0.5, 0.5, 0.5])
+        tris = np.asarray([[0, 1, 2]], np.int32)
+        st = rsetup.triangle_setup(jnp.asarray(clip, jnp.float32),
+                                   jnp.asarray(tris, jnp.int32),
+                                   jnp.ones(1, bool), W, H,
+                                   cull=rsetup.CULL_NONE)
+        (res,) = binning.bin_triangles_buckets(
+            st["bbox"], st["valid"], ((0, 1),), W, H, tile_w=32, tile_h=32,
+            caps=(8,), max_span=1, big_cap=4,
+            edge=st["edge"], anchor=st["anchor"])
+        bins, counts, overflow = res
+        counts = np.asarray(counts)
+        assert int(overflow) == 0
+        # bottom-left corner tile (row 1, col 0) is far off the sliver
+        assert counts[1, 0] == 0
+        # but the sliver IS somewhere (top-left tile contains its start)
+        assert counts.sum() >= 2
