@@ -306,3 +306,25 @@ class TestSparseSkybox:
         kept = np.asarray(tiny[0])[mask]
         sky0 = np.asarray(dense[0])[mask]
         np.testing.assert_allclose(kept, sky0, atol=1e-6)
+
+
+class TestPackedRows:
+    def test_packed_rows_bit_identical(self):
+        """cfg.packed_rows (one wide per-triangle interpolation row,
+        interp.build_packed_rows) is a LAYOUT experiment: the flagship
+        frame must match the narrow-row path bit-for-bit, masked foliage
+        and transparent panes included."""
+        scene = procedural.build_sponza_like(target_tris=30_000).build().device_put()
+        cam = Camera(position=np.array([0, 1.7, 0], np.float32))
+        s = RenderSettings(enable_shadows=True, shadow_mode=3,
+                           enable_postprocess=True)
+        kw = dict(enable_shadows=True, cap_opaque=16384, cap_masked=512,
+                  cap_transparent=256, raster_chunk=64, shadow_cap=16384,
+                  shadow_size=512, masked_peels=8, transparent_peels=3)
+        ref = driver.render(scene, cam, s, small_cfg(**kw))
+        out = driver.render(scene, cam, s, small_cfg(packed_rows=True, **kw))
+        np.testing.assert_array_equal(np.asarray(ref["color_u8"]),
+                                      np.asarray(out["color_u8"]))
+        c_ref = np.asarray(ref["color"])
+        c_out = np.asarray(out["color"])
+        np.testing.assert_allclose(c_ref, c_out, atol=1e-6)

@@ -114,6 +114,13 @@ class FrameConfig:
     # gathers.  Default OFF = exact; tests gate the ON path vs goldens
     # at >= 40 dB (VERDICT r2 task 3)
     mr_nearest_mip: bool = False
+    # EXACT layout experiment (colorless scenes): pack every per-pixel
+    # interpolation input (edge planes, anchor, 3 corner attribute rows,
+    # material scalars) into one [T+1, 48] per-triangle row
+    # (interp.build_packed_rows) — one wide row-gather per pixel instead
+    # of ~6 narrow ones.  Whether wide rows win is measured
+    # (tools/bench_rowgather.py); bit-identical output either way
+    packed_rows: bool = False
 
 
 # Per-frame host state (GPUSceneData + toggles) rides to the device as ONE
@@ -188,10 +195,21 @@ def _frustum_planes(viewproj: jax.Array) -> jax.Array:
     return planes / jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
 
 
-def _winner_alpha(scene, tid, rows, vattr, px=None, py=None):
+def _winner_alpha(scene, tid, rows, vattr, px=None, py=None, ptbl=None):
     """Trilinear albedo-alpha of the per-pixel winning triangle (the
     mesh_pbr.frag:192-193 discard operand).  Shape-agnostic: dense [H, W]
-    or a sparse compact list with explicit ``px``/``py``."""
+    or a sparse compact list with explicit ``px``/``py``.  With ``ptbl``
+    (packed rows), everything but the texels rides ONE row-gather."""
+    if ptbl is not None:
+        weights, corners, matvals = interp.packed_weights_and_corners(
+            ptbl, tid, px, py)
+        (u, dudx, dudy), (v, dvdx, dvdy) = interp.derivs_from_corners(
+            corners, (3, 4), weights)          # colorless layout: u v at 3,4
+        aid = matvals[0].astype(jnp.int32)
+        (alpha,) = tex.sample_trilinear(scene.textures, aid, u, v,
+                                        dudx, dvdx, dudy, dvdy,
+                                        channels=(3,))
+        return alpha
     weights = interp.interpolation_weights_rows(tid, rows[0], rows[1],
                                                 px, py)
     uvc = (3, 4) if scene.colors is None else (6, 7)   # vattr layout
@@ -204,7 +222,7 @@ def _winner_alpha(scene, tid, rows, vattr, px=None, py=None):
 
 
 def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
-                 depth, tid):
+                 depth, tid, ptbl=None):
     """Alpha-cutoff bucket resolved by depth peeling: rasterize the
     nearest not-yet-rejected masked fragment, evaluate its trilinear albedo
     alpha densely (planar), accept (alpha >= 0.5, mesh_pbr.frag:193) or
@@ -235,13 +253,13 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     def accept_sparse(t2, cap):
         sel, _ = _compact_covered(t2, cap)
         selc, t2_s, px, py = _sparse_pixels(sel, t2, w)
-        alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py)
+        alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py, ptbl)
         tgt = jnp.where(sel >= 0, sel, w * h)
         return jnp.zeros((w * h,), bool).at[tgt].set(
             alpha_s >= 0.5, mode="drop")
 
     def accept_dense(t2):
-        alpha_d = _winner_alpha(scene, t2, rows, vattr)
+        alpha_d = _winner_alpha(scene, t2, rows, vattr, ptbl=ptbl)
         return (alpha_d >= 0.5).reshape(-1)
 
     floor = None
@@ -399,6 +417,19 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     tri_mat_p = jnp.concatenate([scene.tri_material, zero_i])
     rows = interp.build_tri_rows(padded, tris_p, tri_mat_p)
     vattr, vpos = _build_vertex_rows(scene, world_pos, world_nrm)
+    ptbl = None
+    if cfg.packed_rows and vpos is None:
+        # one [T+1, 48] row per triangle: per-pixel interpolation becomes
+        # ONE wide row-gather (see interp.build_packed_rows; colorless
+        # layout only — vpos None)
+        mat_rows = jnp.stack(
+            [scene.mat_tex_ids[:, 0].astype(jnp.float32),
+             scene.mat_tex_ids[:, 2].astype(jnp.float32),
+             scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
+             scene.mat_color_factors[:, 2], scene.mat_metal_rough[:, 0],
+             scene.mat_metal_rough[:, 1]], axis=-1)
+        ptbl = interp.build_packed_rows(padded, tris_p, tri_mat_p, vattr,
+                                        mat_rows)
 
     # ---- bin ONCE for every camera-view bucket (one pair sort; buckets
     # are contiguous tri-id ranges sliced out by binary search), then
@@ -432,13 +463,15 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
         plan_m = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                         cfg.tile_w, cfg.tile_h)
         depth, tid, peel_m, fb_m = _masked_pass(scene, cfg, plan_m, padded,
-                                                rows, vattr, depth, tid)
+                                                rows, vattr, depth, tid,
+                                                ptbl=ptbl)
         overflow = overflow + plan_m["overflow"]
         peel_overflow = peel_overflow + peel_m
         fallback_px = fallback_px + fb_m   # exact (dense cond fallback)
 
     # ---- G-buffer interpolation (fixed-function varyings, SURVEY F3)
-    gbuf = _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos)
+    gbuf = _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos,
+                          ptbl=ptbl)
 
     # ---- shading (planar channels); shadow mode/enable are TRACED
     # (sunlightDirection.w / sunlightColor.w — the reference's UBO flag
@@ -499,7 +532,8 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                                         cfg.tile_w, cfg.tile_h)
         color, peel_t, sp_t = _transparent_pass(
             scene, scene_data, settings, cfg, plan_t, padded, rows, vattr,
-            vpos, depth, shadow_maps, color, shadow_coarse=shadow_coarse)
+            vpos, depth, shadow_maps, color, shadow_coarse=shadow_coarse,
+            ptbl=ptbl)
         peel_overflow = peel_overflow + peel_t
         sparse_overflow = sparse_overflow + sp_t
 
@@ -575,20 +609,29 @@ def _build_vertex_rows(scene, world_pos, world_nrm):
 
 
 def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos,
-                   px=None, py=None):
+                   px=None, py=None, ptbl=None):
     """Planar G-buffer (see ops/shade.py docstring for the key list).
     ``px``/``py``: explicit pixel centers for SPARSE (compacted) shading;
-    dense [H, W] grid when omitted."""
-    weights = interp.interpolation_weights_rows(tid, rows[0], rows[1],
-                                                px, py)
-    lam = weights["lam"]
-    vidx = weights["vidx"]
-
+    dense [H, W] grid when omitted.  ``ptbl`` (packed per-triangle rows,
+    cfg.packed_rows): weights + corners + material scalars from ONE wide
+    row-gather — colorless layout only, bit-identical output."""
     g = {}
-    # one corner-gather of the attribute rows serves BOTH the plain
-    # interpolation and the UV-derivative quotient rule (round 1 gathered
-    # the same rows twice — 3 extra 2M-row-gathers per G-buffer)
-    corners = interp.gather_corners(vattr, vidx)
+    if ptbl is not None:
+        assert vpos is None, "packed rows require the colorless layout"
+        weights, corners, matvals = interp.packed_weights_and_corners(
+            ptbl, tid, px, py)
+        (g["m_albedo_id"], g["m_mr_id"], g["m_cf_r"], g["m_cf_g"],
+         g["m_cf_b"], g["m_metal_f"], g["m_rough_f"]) = matvals
+    else:
+        weights = interp.interpolation_weights_rows(tid, rows[0], rows[1],
+                                                    px, py)
+        # one corner-gather of the attribute rows serves BOTH the plain
+        # interpolation and the UV-derivative quotient rule (round 1
+        # gathered the same rows twice — 3 extra 2M-row-gathers per
+        # G-buffer)
+        corners = interp.gather_corners(vattr, weights["vidx"])
+        g["mat_id"] = weights["mat_id"]
+    lam = weights["lam"]
     a = interp.interp_from_corners(corners, lam)
     g["nx"], g["ny"], g["nz"] = a[0], a[1], a[2]
     if vpos is None:
@@ -604,12 +647,11 @@ def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos,
         g["cr"], g["cg"], g["cb"] = a[3], a[4], a[5]
         (g["u"], g["dudx"], g["dudy"]), (g["v"], g["dvdx"], g["dvdy"]) = \
             interp.derivs_from_corners(corners, (6, 7), weights)
-        pz = interp.interp_rows(vpos, vidx, lam)
+        pz = interp.interp_rows(vpos, weights["vidx"], lam)
         g["wx"], g["wy"], g["wz"] = pz[0], pz[1], pz[2]
     view = scene_data["view"]
     g["view_z"] = (g["wx"] * view[2, 0] + g["wy"] * view[2, 1]
                    + g["wz"] * view[2, 2] + view[2, 3])
-    g["mat_id"] = weights["mat_id"]
     g["covered"] = tid >= 0
     return g
 
@@ -634,7 +676,7 @@ def _sparse_pixels(sel: jax.Array, tid: jax.Array, width: int):
 
 def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
                       padded, rows, vattr, vpos, opaque_depth, shadow_maps,
-                      color, shadow_coarse=None):
+                      color, shadow_coarse=None, ptbl=None):
     """Additive-blend transparent geometry (vk_pipelines.cpp:108-118:
     srcAlpha*src + dst; mesh_pbr always writes alpha=1 so effectively
     ONE/ONE), depth test against opaque LESS_OR_EQUAL, depth write off —
@@ -663,7 +705,7 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
         sel, ovf = _compact_covered(tidt, cap)
         selc, tid_s, px, py = _sparse_pixels(sel, tidt, w)
         gbuf = _build_gbuffer(scene, scene_data, tid_s, rows, vattr, vpos,
-                              px, py)
+                              px, py, ptbl=ptbl)
         rgb, alpha, sp_sh = shader(
             gbuf, scene, scene_data, shadow_maps,
             scene_data["sunlight_direction"][3],

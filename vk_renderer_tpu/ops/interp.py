@@ -78,6 +78,70 @@ def interpolation_weights_rows(tri_id: jax.Array, row1: jax.Array,
             "ids": ids, "mat_id": mat_id, "vidx": vidx}
 
 
+PACKED_COLS = 48                      # 6 x 8-lane registers
+
+
+def build_packed_rows(setup_padded: dict, tris_p, tri_mat_p,
+                      vattr: jax.Array, mat_rows: jax.Array) -> jax.Array:
+    """ONE [T+1, 48] per-triangle row carrying EVERY per-pixel
+    interpolation input, so the dense G-buffer (and the masked alpha
+    probes) pay ONE wide row-gather per pixel instead of ~6 narrow ones
+    (tri row pair + 3 corner rows + material row).
+
+    Column layout (colorless 8-wide vattr = nx ny nz u v wx wy wz):
+      0:9    edge planes a0 b0 c0 a1 b1 c1 a2 b2 c2
+      9:11   anchor ax ay
+      11:19  corner-0 attribute row
+      19:27  corner-1 attribute row
+      27:35  corner-2 attribute row
+      35:35+K  material scalars (mat_rows[tri_mat]; K <= 8)
+      ..48   zero pad
+
+    Built per frame from per-TRIANGLE gathers (3 vattr row-gathers + one
+    material row-gather over T+1 rows — ~8x fewer indices than a single
+    per-pixel gather at 1080p); whether the wide per-pixel row is a net
+    win over the narrow-row path is a measured question
+    (tools/bench_rowgather.py) — FrameConfig.packed_rows flips it."""
+    e = setup_padded["edge"]
+    anc = setup_padded["anchor"]
+    c0, c1, c2 = (vattr[tris_p[0]], vattr[tris_p[1]], vattr[tris_p[2]])
+    mats = mat_rows[tri_mat_p]                       # [T+1, K]
+    cols = [e[i] for i in range(9)] + [anc[0], anc[1]]
+    for ck in (c0, c1, c2):
+        cols += [ck[:, j] for j in range(8)]
+    cols += [mats[:, j] for j in range(mats.shape[1])]
+    zero = jnp.zeros_like(e[0])
+    cols += [zero] * (PACKED_COLS - len(cols))
+    return jnp.stack(cols, axis=-1)
+
+
+def packed_weights_and_corners(ptbl: jax.Array, tri_id: jax.Array,
+                               px=None, py=None, n_mat: int = 7):
+    """The packed-row counterpart of interpolation_weights_rows +
+    gather_corners: one row-gather yields (weights, corners, matvals)."""
+    sentinel = ptbl.shape[0] - 1
+    ids = jnp.where(tri_id < 0, sentinel, tri_id)
+    r = ptbl[ids]                                    # [..., 48]
+    if px is None:
+        h, w = tri_id.shape
+        px, py = pixel_centers(h, w)
+    pxa = px - r[..., 9]
+    pya = py - r[..., 10]
+    a = (r[..., 0], r[..., 3], r[..., 6])
+    b = (r[..., 1], r[..., 4], r[..., 7])
+    c = (r[..., 2], r[..., 5], r[..., 8])
+    e = tuple(a[i] * pxa + b[i] * pya + c[i] for i in range(3))
+    esum = e[0] + e[1] + e[2]
+    esafe = jnp.where(esum != 0.0, esum, 1.0)
+    inv = 1.0 / esafe
+    lam = tuple(ei * inv for ei in e)
+    weights = {"lam": lam, "a": a, "b": b, "esum": esafe, "inv_esum": inv,
+               "ids": ids}
+    corners = (r[..., 11:19], r[..., 19:27], r[..., 27:35])
+    matvals = tuple(r[..., 35 + j] for j in range(n_mat))
+    return weights, corners, matvals
+
+
 def interpolation_weights(tri_id: jax.Array, setup_padded: dict):
     """Perspective-correct weights + plane coefficients for derivatives.
 

@@ -444,21 +444,29 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
     lx, ly, lz = -sun[0] * inv_sun, -sun[1] * inv_sun, -sun[2] * inv_sun
     hx, hy, hz = _normalize3(vx + lx, vy + ly, vz + lz)
 
-    mat_id = gbuf["mat_id"]
-    # ONE [M, 8] row-gather replaces 7 per-pixel column takes (ids are
-    # exact in f32 below 2^24; the table stack over ~hundreds of
-    # materials is free)
-    mrow = jnp.stack(
-        [scene.mat_tex_ids[:, 0].astype(jnp.float32),
-         scene.mat_tex_ids[:, 2].astype(jnp.float32),
-         scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
-         scene.mat_color_factors[:, 2], scene.mat_metal_rough[:, 0],
-         scene.mat_metal_rough[:, 1],
-         jnp.zeros_like(scene.mat_color_factors[:, 0])], axis=-1)[mat_id]
-    albedo_id = mrow[..., 0].astype(jnp.int32)
-    mr_id = mrow[..., 1].astype(jnp.int32)
-    cf_r, cf_g, cf_b = mrow[..., 2], mrow[..., 3], mrow[..., 4]
-    metal_f, rough_f = mrow[..., 5], mrow[..., 6]
+    if "m_albedo_id" in gbuf:
+        # packed-row G-buffer (interp.build_packed_rows): the material
+        # scalars rode the per-triangle row — no per-pixel material gather
+        albedo_id = gbuf["m_albedo_id"].astype(jnp.int32)
+        mr_id = gbuf["m_mr_id"].astype(jnp.int32)
+        cf_r, cf_g, cf_b = gbuf["m_cf_r"], gbuf["m_cf_g"], gbuf["m_cf_b"]
+        metal_f, rough_f = gbuf["m_metal_f"], gbuf["m_rough_f"]
+    else:
+        mat_id = gbuf["mat_id"]
+        # ONE [M, 8] row-gather replaces 7 per-pixel column takes (ids are
+        # exact in f32 below 2^24; the table stack over ~hundreds of
+        # materials is free)
+        mrow = jnp.stack(
+            [scene.mat_tex_ids[:, 0].astype(jnp.float32),
+             scene.mat_tex_ids[:, 2].astype(jnp.float32),
+             scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
+             scene.mat_color_factors[:, 2], scene.mat_metal_rough[:, 0],
+             scene.mat_metal_rough[:, 1],
+             jnp.zeros_like(scene.mat_color_factors[:, 0])], axis=-1)[mat_id]
+        albedo_id = mrow[..., 0].astype(jnp.int32)
+        mr_id = mrow[..., 1].astype(jnp.int32)
+        cf_r, cf_g, cf_b = mrow[..., 2], mrow[..., 3], mrow[..., 4]
+        metal_f, rough_f = mrow[..., 5], mrow[..., 6]
 
     at_r, at_g, at_b, at_a = tex.sample_trilinear(
         scene.textures, albedo_id, gbuf["u"], gbuf["v"],
@@ -540,13 +548,17 @@ def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
     """mesh.frag main (124-182): Lambert + ambient with the same shadow
     library and alpha handling."""
     del mr_nearest_mip   # no metallic-roughness texture in the flat path
-    mat_id = gbuf["mat_id"]
-    mrow = jnp.stack(
-        [scene.mat_tex_ids[:, 0].astype(jnp.float32),
-         scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
-         scene.mat_color_factors[:, 2]], axis=-1)[mat_id]
-    albedo_id = mrow[..., 0].astype(jnp.int32)
-    cf_r, cf_g, cf_b = mrow[..., 1], mrow[..., 2], mrow[..., 3]
+    if "m_albedo_id" in gbuf:
+        albedo_id = gbuf["m_albedo_id"].astype(jnp.int32)
+        cf_r, cf_g, cf_b = gbuf["m_cf_r"], gbuf["m_cf_g"], gbuf["m_cf_b"]
+    else:
+        mat_id = gbuf["mat_id"]
+        mrow = jnp.stack(
+            [scene.mat_tex_ids[:, 0].astype(jnp.float32),
+             scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
+             scene.mat_color_factors[:, 2]], axis=-1)[mat_id]
+        albedo_id = mrow[..., 0].astype(jnp.int32)
+        cf_r, cf_g, cf_b = mrow[..., 1], mrow[..., 2], mrow[..., 3]
     at_r, at_g, at_b, at_a = tex.sample_trilinear(
         scene.textures, albedo_id, gbuf["u"], gbuf["v"],
         gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"])
