@@ -19,3 +19,9 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "tests expect the 8-device virtual CPU mesh"
+
+# persistent compile cache: the render-graph tests compile multi-minute
+# programs on a single host core — repeat runs must hit the disk cache
+from vk_renderer_tpu.utils import jaxcache
+
+jaxcache.enable()

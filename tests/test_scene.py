@@ -88,11 +88,11 @@ class TestTextureHeap:
         b, ids = textures.make_default_heap()
         t = b.build()
         # slot 0 = flat normal (vk_engine_init.cpp:351-355 double write);
-        # heap is packed RGBA8 u32
+        # heap is packed RGBA8 u32, quad-interleaved (4 words per texel)
         def unpack(v):
             return [(int(v) >> (8 * c)) & 0xFF for c in range(4)]
-        assert unpack(t.texels[t.mip_offsets[0, 0]]) == [128, 128, 255, 255]
-        assert unpack(t.texels[t.mip_offsets[1, 0]]) == [255, 255, 255, 255]
+        assert unpack(t.texels[4 * t.mip_offsets[0, 0]]) == [128, 128, 255, 255]
+        assert unpack(t.texels[4 * t.mip_offsets[1, 0]]) == [255, 255, 255, 255]
 
     def test_mip_chain_counts(self):
         b = textures.TextureHeapBuilder()
@@ -117,20 +117,24 @@ class TestTextureHeap:
         i = b.add(img, srgb=True, mipmapped=False)
         t = b.build()
         # sRGB u8 -> linear f32 -> sRGB u8 must round-trip exactly
-        v = int(t.texels[t.mip_offsets[i, 0]])
+        v = int(t.texels[4 * t.mip_offsets[i, 0]])
         assert (v & 0xFF) == 128 and ((v >> 24) & 0xFF) == 128
         assert t.srgb_flags[i] == 1 and t.srgb_flags[solid] == 0
 
-    def test_row_padding_wraps(self):
+    def test_quad_neighbors_wrap(self):
         b = textures.TextureHeapBuilder()
         img = np.zeros((2, 4, 4), np.uint8)
         img[0, 0] = (10, 20, 30, 40)
         i = b.add(img, srgb=False, mipmapped=False)
         t = b.build()
-        off = t.mip_offsets[i, 0]
-        w = t.mip_sizes[i, 0, 0]
-        # padded row: texel at x==w duplicates x==0 (REPEAT)
-        assert t.texels[off + w] == t.texels[off]
+        off = int(t.mip_offsets[i, 0])
+        w = int(t.mip_sizes[i, 0, 0])
+        h = int(t.mip_sizes[i, 0, 1])
+        quad = t.texels.reshape(-1, 4)
+        # quad corner 1 at x == w-1 is the REPEAT wrap texel (x == 0)
+        assert quad[off + (w - 1), 1] == quad[off, 0]
+        # quad corner 2 at y == h-1 wraps to row 0
+        assert quad[off + (h - 1) * w, 2] == quad[off, 0]
 
     def test_min_alpha_classification(self):
         b = textures.TextureHeapBuilder()

@@ -350,3 +350,94 @@ class TestClassifiedShadow:
         got = np.asarray(got)
         assert np.all(got[:8] == 0.0)
         assert np.all(got[:, :12] == 0.0)
+
+
+class TestShadowRowsParity:
+    """The ShadowRows fast path (texture.make_shadow_rows: one row-8
+    gather per tap) must be BIT-IDENTICAL to the legacy 2-take sampler on
+    every coordinate class: interior, off-map borders (all four sides),
+    texel-boundary x/y, and every cascade layer."""
+
+    def test_rows_vs_legacy_bilinear(self):
+        rng = np.random.default_rng(3)
+        smap = rng.uniform(0.0, 1.0, size=(4, 64, 64)).astype(np.float32)
+        packed = _pack(smap)
+        rows = tex.make_shadow_rows(packed)
+        assert isinstance(rows, tex.ShadowRows)
+        # coordinates straddling every edge case incl. off-map
+        us = jnp.asarray(rng.uniform(-0.2, 1.2, size=(3, 8, 16)),
+                         jnp.float32)
+        vs = jnp.asarray(rng.uniform(-0.2, 1.2, size=(3, 8, 16)),
+                         jnp.float32)
+        layer = jnp.asarray(rng.integers(0, 4, size=(8, 16)), jnp.int32)
+        want = tex.sample_shadow_batch(packed, us, vs, layer)
+        got = tex.sample_shadow_batch(rows, us, vs, layer)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_rows_vs_legacy_boundary_coords(self):
+        # exact texel boundaries and the clamp rows (y0 = -1, y0 = S-1)
+        smap = np.linspace(0, 1, 4 * 16 * 16, dtype=np.float32
+                           ).reshape(4, 16, 16)
+        packed = _pack(smap)
+        rows = tex.make_shadow_rows(packed)
+        s = 16
+        edge = [-0.5 / s, 0.5 / s, 0.5, (s - 0.5) / s, 1.0 - 0.25 / s,
+                1.0 + 0.5 / s]
+        us = jnp.asarray(np.array(edge, np.float32)[:, None, None]
+                         * np.ones((1, len(edge), 1), np.float32))
+        vs = jnp.asarray(np.array(edge, np.float32)[None, :, None]
+                         * np.ones((len(edge), 1, 1), np.float32))
+        us, vs = jnp.broadcast_to(us, (6, 6, 1)), jnp.broadcast_to(vs, (6, 6, 1))
+        layer = jnp.zeros((6, 1), jnp.int32)
+        want = tex.sample_shadow_batch(packed, us, vs, layer)
+        got = tex.sample_shadow_batch(rows, us, vs, layer)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_filters_accept_rows_form(self):
+        rng = np.random.default_rng(5)
+        smap = rng.uniform(0.0, 1.0, size=(4, 64, 64)).astype(np.float32)
+        packed = _pack(smap)
+        rows = tex.make_shadow_rows(packed)
+        su = jnp.asarray(rng.uniform(0, 1, (4, 6)), jnp.float32)
+        sv = jnp.asarray(rng.uniform(0, 1, (4, 6)), jnp.float32)
+        sz = jnp.asarray(rng.uniform(0.2, 0.9, (4, 6)), jnp.float32)
+        layer = jnp.asarray(rng.integers(0, 4, (4, 6)), jnp.int32)
+        for mode in range(3):
+            want = shade._filter_dispatch(packed, su, sv, sz, layer, mode)
+            got = shade._filter_dispatch(rows, su, sv, sz, layer, mode)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                          err_msg=f"mode {mode}")
+
+
+def test_classified_coarse_quad_parity():
+    """CoarseRows (one row-4 gather) must match the legacy [L, sb, sb]
+    coarse table through classified_shadow_factor, every mode."""
+    rng = np.random.default_rng(9)
+    smap = np.full((4, 256, 256), 0.9, np.float32)
+    smap[:, :, :128] = 0.25
+    smap[:, :, 120:136] = rng.uniform(
+        0.1, 0.95, size=(4, 256, 16)).astype(np.float32)
+    packed = _pack(smap)
+    coarse = tex.build_shadow_coarse(packed, block=16)
+    quad = tex.make_coarse_rows(coarse)
+    m = np.eye(4, dtype=np.float32)
+    sd = {"cascade_distances": jnp.asarray([2.0, 8.0, 22.0, 100.0],
+                                           jnp.float32),
+          "light_viewproj": jnp.asarray(np.stack([m] * 4))}
+    h, w = 16, 24
+    gbuf = {
+        "wx": jnp.asarray(rng.uniform(-1.3, 1.3, (h, w)).astype(np.float32)),
+        "wy": jnp.asarray(rng.uniform(-1.3, 1.3, (h, w)).astype(np.float32)),
+        "wz": jnp.asarray(rng.uniform(0.15, 0.97, (h, w)).astype(np.float32)),
+        "view_z": jnp.asarray(rng.uniform(0.5, 80, (h, w)).astype(np.float32)),
+        "covered": jnp.ones((h, w), bool),
+    }
+    n_dot_l = jnp.ones((h, w), jnp.float32)
+    for mode in range(4):
+        want, ovf_w = shade.classified_shadow_factor(
+            packed, coarse, gbuf, sd, mode, True, n_dot_l, cap=h * w)
+        got, ovf_g = shade.classified_shadow_factor(
+            packed, quad, gbuf, sd, mode, True, n_dot_l, cap=h * w)
+        assert int(ovf_w) == int(ovf_g) == 0
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
+                                      err_msg=f"mode {mode}")

@@ -28,6 +28,14 @@ VARIANTS = [
     ("mr_trilinear", {"mr_nearest_mip": False}),
     ("max_span8", {"max_span": 8, "big_cap": 2048}),
     ("packed+span8", {"packed_rows": True, "max_span": 8, "big_cap": 2048}),
+    # per-cascade shadow sorts: static keys = T*span + big_cap*1024 tiles
+    ("shadow_span8", {"shadow_max_span": 8, "shadow_big_cap": 512}),
+    ("shadow_span4", {"shadow_max_span": 4, "shadow_big_cap": 1024}),
+    # classified-filter uncertain band measured 0.8% (~17k px) at the
+    # bench camera; compact-list cost is CAP-proportional (auto = 130k)
+    ("classify48k", {"shadow_classify_cap": 49152}),
+    ("combo", {"max_span": 8, "big_cap": 2048, "shadow_max_span": 8,
+               "shadow_big_cap": 512, "shadow_classify_cap": 49152}),
 ]
 
 

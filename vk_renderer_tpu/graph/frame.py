@@ -71,6 +71,13 @@ class FrameConfig:
     # big-tested triangles (big_cap*n_tiles elementwise) — a tuning
     # trade, exact either way
     max_span: int = 16
+    # shadow-cascade binning knobs (per-cascade sorts dominate the CSM
+    # shadow stage: static key count = T*span + big_cap*n_tiles, and the
+    # 2048^2 light grid has 1024 tiles).  Same exact semantics as
+    # max_span/big_cap; tuned separately because light-space triangle
+    # footprints differ from camera-space ones
+    shadow_max_span: int = 16
+    shadow_big_cap: int = 1024
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     # compiles the shadow SUBSYSTEM in (pipelines-at-init analog); the
     # per-frame on/off and filter mode are TRACED scene_data channels
@@ -271,12 +278,18 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
             init_id=no_id, floor_depth=floor)
         found = t2 >= 0
         n_found = jnp.sum(found.astype(jnp.int32))
+        # zero tier first: cameras not facing foliage skip the cap-sized
+        # alpha evaluation entirely (no found pixel can be accepted)
         accept_flat = jax.lax.cond(
-            n_found <= cap_small,
-            lambda t: accept_sparse(t, cap_small),
-            lambda t: jax.lax.cond(n_found <= cap,
-                                   lambda u: accept_sparse(u, cap),
-                                   accept_dense, t),
+            n_found == 0,
+            lambda t: jnp.zeros((w * h,), bool),
+            lambda t: jax.lax.cond(
+                n_found <= cap_small,
+                lambda u: accept_sparse(u, cap_small),
+                lambda u: jax.lax.cond(n_found <= cap,
+                                       lambda v: accept_sparse(v, cap),
+                                       accept_dense, u),
+                t),
             t2)
         fallback = fallback + jnp.maximum(n_found - cap, 0)
         accept = found & accept_flat.reshape(h, w)
@@ -326,8 +339,8 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
                                    cull=rsetup.CULL_FRONT, corners=corn)
         (plan,) = raster.plan_view_buckets(
             st, ((0, n_tris),), s, out_h, cfg.tile_w, cfg.tile_h,
-            (cfg.shadow_cap,), (cfg.rec_shadow,), big_cap=cfg.big_cap,
-            max_span=cfg.max_span)
+            (cfg.shadow_cap,), (cfg.rec_shadow,), big_cap=cfg.shadow_big_cap,
+            max_span=cfg.shadow_max_span)
         padded = raster.pad_setup(st)
         plan = raster.prepare_records(plan, padded, st["bbox"], s,
                                       cfg.tile_w, cfg.tile_h)
@@ -368,10 +381,13 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
         world_pos, _ = rsetup.transform_vertices(
             scene.positions, scene.vert_obj, scene.obj_world,
             scene_data["viewproj"])
-        shadow_maps = render_shadow_maps(scene, world_pos, tri_visible,
-                                         scene_data["light_viewproj"], cfg)
-        shadow_coarse = (tex.build_shadow_coarse(shadow_maps)
-                         if cfg.shadow_classify_cap != 0 else None)
+        shadow_packed = render_shadow_maps(scene, world_pos, tri_visible,
+                                           scene_data["light_viewproj"], cfg)
+        shadow_coarse = (tex.make_coarse_rows(
+            tex.build_shadow_coarse(shadow_packed))
+            if cfg.shadow_classify_cap != 0 else None)
+        # row-grouped form: every filter tap is ONE row-8 gather
+        shadow_maps = tex.make_shadow_rows(shadow_packed)
     else:
         shadow_maps = tex.pack_shadow_maps(
             jnp.ones((NUM_CASCADES, 1, 1), jnp.float32))
@@ -734,10 +750,16 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
             init_depth=opaque_depth, init_id=no_id, floor_depth=floor)
         if cap_small < cap_large:
             n_cov = jnp.sum((tidt >= 0).astype(jnp.int32))
+            # zero tier: most cameras see NO transparent pixels at all
+            # (the bench camera does) — skip the cap-sized shading whole
             color_flat, ovf = jax.lax.cond(
-                n_cov <= cap_small,
-                lambda cf: shade_peel(tidt, cf, cap_small),
-                lambda cf: shade_peel(tidt, cf, cap_large),
+                n_cov == 0,
+                lambda cf: (cf, jnp.int32(0)),
+                lambda cf: jax.lax.cond(
+                    n_cov <= cap_small,
+                    lambda c2: shade_peel(tidt, c2, cap_small),
+                    lambda c2: shade_peel(tidt, c2, cap_large),
+                    cf),
                 color_flat)
         else:
             color_flat, ovf = shade_peel(tidt, color_flat, cap_large)

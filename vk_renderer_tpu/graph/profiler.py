@@ -174,8 +174,10 @@ def profile_passes(scene, scene_data: dict, settings: dict,
         coarse = None
         cap_sh = cfg.shadow_sparse_cap if cfg.shadow_sparse_cap > 0 else None
         if cfg.enable_shadows and classify_cap > 0:
-            coarse = _tex.build_shadow_coarse(shadow_maps)
+            coarse = _tex.make_coarse_rows(
+                _tex.build_shadow_coarse(shadow_maps))
             cap_sh = classify_cap
+        shadow_maps = _tex.make_shadow_rows(shadow_maps)   # frame-path form
         return shader(gbuf, scene, sd, shadow_maps,
                       sd["sunlight_direction"][3],
                       (sd["sunlight_color"][3] if cfg.enable_shadows
@@ -228,13 +230,14 @@ def profile_passes(scene, scene_data: dict, settings: dict,
 
         def stage_transparent(scene, sd, settings, plan_t, padded,
                               rows, vattr, vpos, depth, shadow_maps, color):
-            coarse = (_tex.build_shadow_coarse(shadow_maps)
-                      if cfg.enable_shadows
-                      and F._resolve_classify_cap(cfg) > 0 else None)
+            coarse = (_tex.make_coarse_rows(
+                _tex.build_shadow_coarse(shadow_maps))
+                if cfg.enable_shadows
+                and F._resolve_classify_cap(cfg) > 0 else None)
             return F._transparent_pass(scene, sd, settings, cfg, plan_t,
-                                       padded, rows, vattr, vpos,
-                                       depth, shadow_maps, color,
-                                       shadow_coarse=coarse)
+                                       padded, rows, vattr, vpos, depth,
+                                       _tex.make_shadow_rows(shadow_maps),
+                                       color, shadow_coarse=coarse)
 
         ms, (color, _, _sp2) = _timed(jax.jit(stage_transparent), scene,
                                 scene_data, settings, plan_t, padded,

@@ -65,7 +65,7 @@ def _tap(shadow_maps, u, v, layer):
 
 def _shadow_pcf(shadow_maps, su, sv, sz, layer):
     """PCF 3x3 (mesh_pbr.frag:48-59), one gather per tap."""
-    texel = 1.0 / shadow_maps.shape[-1]
+    texel = 1.0 / tex.shadow_map_size(shadow_maps)
     acc = jnp.zeros_like(sz)
     for i in (-1, 0, 1):
         for j in (-1, 0, 1):
@@ -145,7 +145,7 @@ def _filter_dispatch(shadow_maps, su, sv, sz, layer, shadow_mode):
     clamped to the rastered cascade count, so a single-cascade config
     (FrameConfig.shadow_cascades=1, modes < 3) never indexes layers that
     were not rendered."""
-    layer = jnp.minimum(layer, shadow_maps.shape[0] - 1)
+    layer = jnp.minimum(layer, tex.shadow_layer_count(shadow_maps) - 1)
     if isinstance(shadow_mode, int):
         if shadow_mode == 0:
             return _shadow_hard(shadow_maps, su, sv, sz, layer)
@@ -216,9 +216,11 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
     blockers too: factor is exactly 1.  If even the window min is not a
     blocker, no tap of any mode contributes: factor is exactly 0."""
     from . import texture as _tex
-    sb = shadow_coarse.shape[-1]
+    quad = isinstance(shadow_coarse, _tex.CoarseRows)
+    sb = shadow_coarse.cells if quad else shadow_coarse.shape[-1]
+    n_layers = shadow_coarse.layers if quad else shadow_coarse.shape[0]
     block = map_size // sb           # texels per coarse cell (from shapes)
-    layer = jnp.minimum(layer, shadow_coarse.shape[0] - 1)
+    layer = jnp.minimum(layer, n_layers - 1)
     s = jnp.float32(map_size)
     cx = su * s                      # window center, texel-index space
     cy = sv * s
@@ -243,19 +245,24 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
 
     g0x = jnp.clip(bx0, 0, sb - 1).astype(jnp.int32)
     g0y = jnp.clip(by0, 0, sb - 1).astype(jnp.int32)
-    g1y = jnp.minimum(g0y + 1, sb - 1)
-    flat = shadow_coarse.reshape(-1)
-    base = layer * (sb * sb)
-    # x-adjacent cells ride take2 consecutive-pair fetches (2 row-gathers
-    # per pair vs 2 flat takes); the g0x == sb-1 border pair would cross
-    # into the next row, so clip it back to the edge cell (same value the
-    # clipped plain take fetched)
-    from .gatherutil import take2
-    edge_x = g0x == sb - 1
-    w00, w10 = take2(flat, base + g0y * sb + g0x)
-    w10 = jnp.where(edge_x, w00, w10)
-    w01, w11 = take2(flat, base + g1y * sb + g0x)
-    w11 = jnp.where(edge_x, w01, w11)
+    if quad:
+        # the full 2x2 cell window in ONE row-4 gather (clamped-edge
+        # neighbors are prebuilt — texture.make_coarse_rows)
+        r = shadow_coarse.rows[(layer * sb + g0y) * sb + g0x]
+        w00, w10, w01, w11 = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    else:
+        g1y = jnp.minimum(g0y + 1, sb - 1)
+        flat = shadow_coarse.reshape(-1)
+        base = layer * (sb * sb)
+        # x-adjacent cells ride take2 consecutive-pair fetches; the
+        # g0x == sb-1 border pair would cross into the next row, so clip
+        # it back to the edge cell (same value the quad form prebuilds)
+        from .gatherutil import take2
+        edge_x = g0x == sb - 1
+        w00, w10 = take2(flat, base + g0y * sb + g0x)
+        w10 = jnp.where(edge_x, w00, w10)
+        w01, w11 = take2(flat, base + g1y * sb + g0x)
+        w11 = jnp.where(edge_x, w01, w11)
     inv_q = jnp.float32(1.0 / _tex.SHADOW_Q)
     mn_g = jnp.minimum(jnp.minimum(w00 & 0xFFFF, w10 & 0xFFFF),
                        jnp.minimum(w01 & 0xFFFF, w11 & 0xFFFF)
@@ -336,7 +343,8 @@ def classified_shadow_factor(shadow_maps, shadow_coarse, gbuf, scene_data,
     if not isinstance(enable_shadows, bool):
         active = active & (jnp.asarray(enable_shadows) > 0.5)
     lit_c, blk_c = _classify_shadow(shadow_coarse, su, sv, sz, layer,
-                                    shadow_maps.shape[-1], shadow_mode)
+                                    tex.shadow_map_size(shadow_maps),
+                                    shadow_mode)
     uncertain = active & ~lit_c & ~blk_c
     base = jnp.where(active & blk_c, 1.0, 0.0)
     n = n_dot_l.size

@@ -76,9 +76,9 @@ def composite_skybox(color, depth: jax.Array, cubemap: jax.Array,
                 jnp.int32(0))
     from .common import compact_mask
 
-    def sparse_path(args):
+    def sparse_path(args, cap):
         color, depth, mask = args
-        sel, _ = compact_mask(mask, sparse_cap)
+        sel, _ = compact_mask(mask, cap)
         selc = jnp.maximum(sel, 0)
         px = (selc % w).astype(jnp.float32) + 0.5
         py = (selc // w).astype(jnp.float32) + 0.5
@@ -93,7 +93,16 @@ def composite_skybox(color, depth: jax.Array, cubemap: jax.Array,
         sky = skybox_colors(cubemap, view, proj, h, w, y_offset, full_height)
         return tuple(jnp.where(mask, s, c) for s, c in zip(sky, color))
 
+    # compact-list gather cost is CAP-proportional, so the cap is tiered
+    # by the live sky count (post-floor-fix interiors leave only a few %
+    # of the frame uncovered; the big cap is the open-view fallback)
+    cap_small = min(sparse_cap, max(8192, sparse_cap // 4))
     n_sky = jnp.sum(mask.astype(jnp.int32))
-    out = jax.lax.cond(n_sky <= sparse_cap, sparse_path, dense_path,
-                       (color, depth, mask))
+    out = jax.lax.cond(
+        n_sky <= cap_small,
+        lambda a: sparse_path(a, cap_small),
+        lambda a: jax.lax.cond(n_sky <= sparse_cap,
+                               lambda b: sparse_path(b, sparse_cap),
+                               dense_path, a),
+        (color, depth, mask))
     return out, jnp.maximum(n_sky - sparse_cap, 0)

@@ -25,9 +25,6 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .gatherutil import take2
-
-
 def _desc_take(offsets, sizes, tex_id, level):
     """Per-(texture,mip) descriptor lookup as ONE [T*M, 4] row-gather
     instead of three flat takes (row gathers cost per INDEX, not per
@@ -58,13 +55,12 @@ def _unpack_rgba8(packed, srgb, channels):
     return out
 
 
-def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
-                    channels=(0, 1, 2, 3)):
-    """One mip level, REPEAT wrap, bilinear over the packed u32 heap:
-    four plain flat takes, one per corner (the u32 packing makes each take
-    fetch all four RGBA channels at once).
+def _bilinear_at(texels, off, w, h, u, v, srgb, channels):
+    """Bilinear fetch given an explicit (offset, w, h) descriptor — ONE
+    row-4 gather over the QUAD-INTERLEAVED u32 heap (scene/textures.py
+    build: heap word 4*i+j is corner j of texel i's 2x2 REPEAT
+    neighborhood; ~3x cheaper than the 2 take2 pairs it replaces).
     Returns a tuple of [H, W] planes for the requested channels."""
-    off, w, h = _desc_take(offsets, sizes, tex_id, level)
     x = u * w.astype(jnp.float32) - 0.5
     y = v * h.astype(jnp.float32) - 0.5
     x0 = jnp.floor(x)
@@ -77,14 +73,8 @@ def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
 
     x0i = wrap(x0, w)
     y0i = wrap(y0, h)
-    y1i = wrap(y0 + 1, h)
-    stride = w + 1                          # wrap-padded rows
-    # each x-pair via ONE row-4 double-fetch (take2): 2 gather index-units
-    # per bilinear row instead of 2 plain takes — row gathers are ~3x
-    # cheaper per index (gatherutil cost table); the wrap-padded rows
-    # guarantee address+1 is the REPEAT texel
-    p00, p10 = take2(texels, off + y0i * stride + x0i)
-    p01, p11 = take2(texels, off + y1i * stride + x0i)
+    q = texels.reshape(-1, 4)[off + y0i * w + x0i]     # [..., 4]
+    p00, p10, p01, p11 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
 
     out = []
     for (t00, t10, t01, t11) in zip(_unpack_rgba8(p00, srgb, channels),
@@ -95,6 +85,13 @@ def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
         bot = t01 + (t11 - t01) * fx
         out.append(top + (bot - top) * fy)
     return tuple(out)
+
+
+def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
+                    channels=(0, 1, 2, 3)):
+    """One mip level (descriptor looked up per pixel), bilinear fetch."""
+    off, w, h = _desc_take(offsets, sizes, tex_id, level)
+    return _bilinear_at(texels, off, w, h, u, v, srgb, channels)
 
 
 def _meta_take(textures, tex_id):
@@ -145,10 +142,19 @@ def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
     l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
     frac = lam - l0.astype(jnp.float32)
 
-    c0 = _bilinear_level(textures.texels, textures.mip_offsets,
-                         textures.mip_sizes, tex_id, u, v, l0, srgb, channels)
-    c1 = _bilinear_level(textures.texels, textures.mip_offsets,
-                         textures.mip_sizes, tex_id, u, v, l1, srgb, channels)
+    off0, w0i, h0i = _desc_take(textures.mip_offsets, textures.mip_sizes,
+                                tex_id, l0)
+    c0 = _bilinear_at(textures.texels, off0, w0i, h0i, u, v, srgb, channels)
+    # level l0+1's descriptor follows ARITHMETICALLY from l0's: mips are
+    # contiguous (scene/textures.py build: cursor += w*h per level) and
+    # sizes halve with a clamp at 1 (generate_mips) — saves the second
+    # per-pixel descriptor row-gather.  At the chain end (l1 == l0) the
+    # descriptor is reused unchanged.
+    deeper = l1 > l0
+    off1 = jnp.where(deeper, off0 + w0i * h0i, off0)
+    w1i = jnp.where(deeper, jnp.maximum(w0i >> 1, 1), w0i)
+    h1i = jnp.where(deeper, jnp.maximum(h0i >> 1, 1), h0i)
+    c1 = _bilinear_at(textures.texels, off1, w1i, h1i, u, v, srgb, channels)
     return tuple(a + (b - a) * frac for a, b in zip(c0, c1))
 
 
@@ -229,15 +235,151 @@ def build_shadow_coarse(packed: jax.Array,
     return mn | (mx << 16)
 
 
-def sample_shadow_batch(shadow_packed: jax.Array, us: jax.Array,
-                        vs: jax.Array, layer: jax.Array) -> jax.Array:
-    """Batched bilinear shadow taps.  shadow_packed i32[L, S, S] from
-    pack_shadow_maps; us/vs [K, H, W] (K independent filter taps);
-    layer [H, W].  Border depth 1.0 outside [0,1]^2 (opaque-white border).
+class ShadowRows:
+    """Row-grouped shadow pairwords: ONE row-8 gather serves a full
+    bilinear tap.  Group ``g`` of map row ``y`` holds pairwords
+    ``(y, 4g..4g+3)`` in cols 0-3 and ``(min(y+1, S-1), 4g..4g+3)`` in
+    cols 4-7, so both y-rows' x-pairs of any tap live in one 8-wide row
+    (row gathers cost per index, not per byte — gatherutil table; ~3x
+    cheaper than the legacy 2 flat takes per tap)."""
 
-    PERF: ONE flat take per bilinear ROW (2 per tap) — the pair-packed
-    words carry both x-corners, and plain takes are the cheapest
-    per-index gather form on TPU."""
+    def __init__(self, rows, layers: int, size: int):
+        self.rows = rows          # i32[L*S*(S//4), 8]
+        self.layers = layers
+        self.size = size
+
+
+def _sr_flatten(s):
+    return (s.rows,), (s.layers, s.size)
+
+
+def _sr_unflatten(aux, children):
+    return ShadowRows(children[0], aux[0], aux[1])
+
+
+jax.tree_util.register_pytree_node(ShadowRows, _sr_flatten, _sr_unflatten)
+
+
+def make_shadow_rows(packed: jax.Array):
+    """Pair-packed maps i32[L, S, S] -> ShadowRows (see class docstring).
+    Built once per frame from the rastered maps (an elementwise
+    concat/reshape, ~free next to one 2M-pixel gather).  Tiny test maps
+    (S % 4 != 0) stay in the legacy [L, S, S] 2-take form."""
+    l, s, _ = packed.shape
+    if s % 4:
+        return packed
+    below = jnp.concatenate([packed[:, 1:, :], packed[:, -1:, :]], axis=1)
+    a = packed.reshape(l, s, s // 4, 4)
+    b = below.reshape(l, s, s // 4, 4)
+    rows = jnp.concatenate([a, b], axis=-1).reshape(-1, 8)
+    return ShadowRows(rows, l, s)
+
+
+def shadow_layer_count(sm) -> int:
+    """Cascade-layer count of either shadow-map form."""
+    return sm.layers if isinstance(sm, ShadowRows) else sm.shape[0]
+
+
+def shadow_map_size(sm) -> int:
+    """Texel side length of either shadow-map form."""
+    return sm.size if isinstance(sm, ShadowRows) else sm.shape[-1]
+
+
+def _sel4(v4, c):
+    """In-row dynamic select (elementwise where-chain, fuses free)."""
+    out = v4[0]
+    for k in range(1, 4):
+        out = jnp.where(c == k, v4[k], out)
+    return out
+
+
+def _sample_shadow_rows(sr: ShadowRows, us, vs, layer):
+    """ShadowRows fast path: one row-8 gather per tap (see ShadowRows)."""
+    size = sr.size
+    sf = jnp.float32(size)
+    x = us * sf - 0.5
+    y = vs * sf - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    x0in = (x0 >= 0) & (x0 < size)
+    x1in = (x0 + 1 >= 0) & (x0 + 1 < size)
+    y0in = (y0 >= 0) & (y0 < size)
+    y1in = (y0 + 1 >= 0) & (y0 + 1 < size)
+
+    x0c = jnp.clip(x0, 0, size - 1).astype(jnp.int32)
+    x1c = jnp.clip(x0 + 1, 0, size - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, size - 1).astype(jnp.int32)
+    y1c = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
+    g = x0c >> 2
+    c = x0c & 3
+    idx = (layer[None] * size + y0c) * (size // 4) + g
+    r = sr.rows[idx]                                   # [K, H, W, 8]
+    w0 = _sel4([r[..., k] for k in range(4)], c)
+    wb = _sel4([r[..., 4 + k] for k in range(4)], c)
+    # the below-word is row min(y0c+1, S-1); when the clamped y1c folds
+    # back onto y0c (off-map top/bottom), the tap needs row y0c again
+    w1 = jnp.where(y1c > y0c, wb, w0)
+
+    inv_q = jnp.float32(1.0 / SHADOW_Q)
+    lo0 = (w0 & 0xFFFF).astype(jnp.float32) * inv_q
+    hi0 = ((w0 >> 16) & 0xFFFF).astype(jnp.float32) * inv_q
+    lo1 = (w1 & 0xFFFF).astype(jnp.float32) * inv_q
+    hi1 = ((w1 >> 16) & 0xFFFF).astype(jnp.float32) * inv_q
+    use_hi = x1c > x0c
+    t00 = jnp.where(x0in & y0in, lo0, 1.0)
+    t10 = jnp.where(x1in & y0in, jnp.where(use_hi, hi0, lo0), 1.0)
+    t01 = jnp.where(x0in & y1in, lo1, 1.0)
+    t11 = jnp.where(x1in & y1in, jnp.where(use_hi, hi1, lo1), 1.0)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+class CoarseRows:
+    """Quad-grouped coarse min/max cells (build_shadow_coarse output,
+    regrouped): row ``i`` holds cells (x, y), (x+1, y), (x, y+1),
+    (x+1, y+1) — clamped at the grid edge — so the classifier's 2x2 cell
+    fetch is ONE row-4 gather instead of four."""
+
+    def __init__(self, rows, layers: int, cells: int):
+        self.rows = rows          # i32[L*sb*sb, 4]
+        self.layers = layers
+        self.cells = cells        # sb: cells per map side
+
+
+def _cr_flatten(s):
+    return (s.rows,), (s.layers, s.cells)
+
+
+def _cr_unflatten(aux, children):
+    return CoarseRows(children[0], aux[0], aux[1])
+
+
+jax.tree_util.register_pytree_node(CoarseRows, _cr_flatten, _cr_unflatten)
+
+
+def make_coarse_rows(coarse: jax.Array) -> CoarseRows:
+    """[L, sb, sb] coarse cells -> CoarseRows (tiny; built per frame)."""
+    l, sb, _ = coarse.shape
+    xp = jnp.concatenate([coarse[:, :, 1:], coarse[:, :, -1:]], axis=2)
+    yp = jnp.concatenate([coarse[:, 1:, :], coarse[:, -1:, :]], axis=1)
+    xyp = jnp.concatenate([yp[:, :, 1:], yp[:, :, -1:]], axis=2)
+    rows = jnp.stack([coarse, xp, yp, xyp], axis=-1).reshape(-1, 4)
+    return CoarseRows(rows, l, sb)
+
+
+def sample_shadow_batch(shadow_packed, us: jax.Array,
+                        vs: jax.Array, layer: jax.Array) -> jax.Array:
+    """Batched bilinear shadow taps.  shadow_packed: ShadowRows (the frame
+    path — one row-8 gather per tap) or i32[L, S, S] from pack_shadow_maps
+    (tests/tiny maps — two flat takes per tap); us/vs [K, H, W]
+    (K independent filter taps); layer [H, W].  Border depth 1.0 outside
+    [0,1]^2 (opaque-white border).  Both forms are bit-identical."""
+    if isinstance(shadow_packed, ShadowRows):
+        return _sample_shadow_rows(shadow_packed, us, vs, layer)
     assert shadow_packed.dtype == jnp.int32, \
         "shadow maps must be pair-packed (texture.pack_shadow_maps)"
     size = shadow_packed.shape[-1]
@@ -298,13 +440,13 @@ def _decode_rgb9e5(w):
 
 
 def sample_cubemap(cubemap, dx, dy, dz):
-    """cubemap: RGB9E5-packed u32[6, F, F] (Vulkan face order
-    +X -X +Y -Y +Z -Z; scene/types.pack_rgb9e5); direction components
+    """cubemap: RGB9E5-packed u32, either quad-interleaved [6, F, 4F]
+    (scene/types.quad_pack_cubemap — the scene path: a full bilinear fetch
+    is ONE row-4 gather) or plain [6, F, F] (tests/tools: one gather per
+    corner).  Vulkan face order +X -X +Y -Y +Z -Z; direction components
     planar [H, W].  Bilinear, per-face clamp-to-edge, face selection per
-    the Vulkan cube-map equations.  Returns (r, g, b) planar.
-
-    One u32 gather per bilinear corner (4 total) replaces the previous
-    three per-channel gathers per corner (12)."""
+    the Vulkan cube-map equations.  Returns (r, g, b) planar — both forms
+    bit-identical."""
     ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     use_x = (ax >= ay) & (ax >= az)
     use_y = (~use_x) & (ay >= az)
@@ -324,6 +466,7 @@ def sample_cubemap(cubemap, dx, dy, dz):
     assert cubemap.dtype == jnp.int32, \
         "cubemap must be RGB9E5-packed (scene/types.pack_rgb9e5)"
     size = cubemap.shape[1]
+    is_quad = cubemap.shape[2] == 4 * size
     sf = jnp.float32(size)
     xf = u * sf - 0.5
     yf = v * sf - 0.5
@@ -332,16 +475,20 @@ def sample_cubemap(cubemap, dx, dy, dz):
     fx = xf - x0
     fy = yf - y0
     x0i = jnp.clip(x0, 0, size - 1).astype(jnp.int32)
-    x1i = jnp.clip(x0 + 1, 0, size - 1).astype(jnp.int32)
     y0i = jnp.clip(y0, 0, size - 1).astype(jnp.int32)
-    y1i = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
 
-    flat = cubemap.reshape(-1)
-    base = face * (size * size)
-    w00 = jnp.take(flat, base + y0i * size + x0i)
-    w10 = jnp.take(flat, base + y0i * size + x1i)
-    w01 = jnp.take(flat, base + y1i * size + x0i)
-    w11 = jnp.take(flat, base + y1i * size + x1i)
+    if is_quad:
+        q = cubemap.reshape(-1, 4)[(face * size + y0i) * size + x0i]
+        w00, w10, w01, w11 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    else:
+        x1i = jnp.clip(x0 + 1, 0, size - 1).astype(jnp.int32)
+        y1i = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
+        flat = cubemap.reshape(-1)
+        base = face * (size * size)
+        w00 = jnp.take(flat, base + y0i * size + x0i)
+        w10 = jnp.take(flat, base + y0i * size + x1i)
+        w01 = jnp.take(flat, base + y1i * size + x0i)
+        w11 = jnp.take(flat, base + y1i * size + x1i)
     out = []
     for (c00, c10, c01, c11) in zip(_decode_rgb9e5(w00), _decode_rgb9e5(w10),
                                     _decode_rgb9e5(w01), _decode_rgb9e5(w11)):

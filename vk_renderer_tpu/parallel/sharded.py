@@ -95,10 +95,13 @@ def _sharded_step(cfg: FrameConfig, devices: tuple):
                 sd["viewproj"])
             strips = framelib.render_shadow_maps(
                 scene, world_pos, tri_visible, lvp, cfg_slice, out_h=shadow_h)
-            shadow_maps = jax.lax.all_gather(strips, "fb", axis=1, tiled=True)
+            shadow_packed = jax.lax.all_gather(strips, "fb", axis=1,
+                                               tiled=True)
             from ..ops import texture as _tex
-            shadow_coarse = (_tex.build_shadow_coarse(shadow_maps)
-                             if cfg.shadow_classify_cap != 0 else None)
+            shadow_coarse = (_tex.make_coarse_rows(
+                _tex.build_shadow_coarse(shadow_packed))
+                if cfg.shadow_classify_cap != 0 else None)
+            shadow_maps = _tex.make_shadow_rows(shadow_packed)
         else:
             from ..ops import texture as _tex
             shadow_maps = _tex.pack_shadow_maps(

@@ -111,9 +111,12 @@ class TextureHeapBuilder:
     def build(self) -> TextureTable:
         """Pack the heap: RGBA8 in uint32 (the reference's texture format),
         sRGB textures stored sRGB-encoded (mips re-encoded after the
-        linear-space blit chain — the hardware behavior), rows padded with
-        one duplicated REPEAT-wrap texel so bilinear x-pairs are contiguous
-        2-wide gathers."""
+        linear-space blit chain — the hardware behavior), QUAD-INTERLEAVED:
+        heap word ``4*i + j`` holds corner ``j`` of texel ``i``'s bilinear
+        2x2 neighborhood (j = self, x+1, y+1, x+1&y+1, REPEAT-wrapped), so
+        a full bilinear fetch is ONE row-4 gather (TPU gathers cost per
+        index, not per byte — see ops/gatherutil's measured table; the 4x
+        heap memory buys back ~3x of the sampler's gather cost)."""
         n_tex = len(self._textures)
         offsets = np.zeros((n_tex, MAX_MIPS), dtype=np.int32)
         sizes = np.ones((n_tex, MAX_MIPS, 2), dtype=np.int32)
@@ -133,12 +136,15 @@ class TextureHeapBuilder:
                 u8 = (f * 255.0 + 0.5).astype(np.uint32)
                 packed = (u8[..., 0] | (u8[..., 1] << 8)
                           | (u8[..., 2] << 16) | (u8[..., 3] << 24))
-                # pad each row with the wrap texel (x == w -> texel 0)
-                padded = np.concatenate([packed, packed[:, :1]], axis=1)
-                offsets[t, m] = cursor
+                # quad-interleave with the REPEAT neighbors
+                xp = np.roll(packed, -1, axis=1)
+                yp = np.roll(packed, -1, axis=0)
+                xyp = np.roll(yp, -1, axis=1)
+                quad = np.stack([packed, xp, yp, xyp], axis=-1)  # [h, w, 4]
+                offsets[t, m] = cursor          # quad-row (texel) units
                 sizes[t, m] = (w, h)
-                chunks.append(padded.reshape(-1).astype(np.uint32))
-                cursor += (w + 1) * h
+                chunks.append(quad.reshape(-1).astype(np.uint32))
+                cursor += w * h
             # clamp-extend: trilinear may address level n_mips-1+1; point the
             # remaining slots at the last real level
             for m in range(len(mips), MAX_MIPS):
@@ -146,11 +152,6 @@ class TextureHeapBuilder:
                 sizes[t, m] = sizes[t, len(mips) - 1]
         texels = (np.concatenate(chunks) if chunks
                   else np.zeros((4,), dtype=np.uint32))
-        if texels.shape[0] % 4:
-            # 4-align the heap so samplers can use the row-4 fast gather
-            # (ops/gatherutil.take2)
-            texels = np.concatenate(
-                [texels, np.zeros((4 - texels.shape[0] % 4,), np.uint32)])
         return TextureTable(texels=texels, mip_offsets=offsets,
                             mip_sizes=sizes, n_mips=n_mips,
                             srgb_flags=srgb_flags)

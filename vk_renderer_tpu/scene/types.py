@@ -38,15 +38,17 @@ class TextureTable:
     are decoded to linear per-texel at sample time before filtering, exactly
     like VK_FORMAT_R8G8B8A8_SRGB sampling; UNORM images are stored raw.
 
-    Rows are padded with one duplicated wrap texel so a bilinear x-pair is
-    one contiguous 2-wide gather (TPU gathers cost per-index, not per-byte).
+    The heap is QUAD-INTERLEAVED: word ``4*i + j`` is corner ``j`` of texel
+    ``i``'s bilinear 2x2 neighborhood (self, x+1, y+1, both — REPEAT
+    wrapped), so a full bilinear fetch is ONE row-4 gather (TPU gathers
+    cost per-index, not per-byte; see scene/textures.py build()).
 
-    Per (texture, mip): ``mip_offset[t, m]`` is the row index of texel (0,0);
-    level texels are row-major.  ``mip_sizes[t, m] = (width, height)``.
+    Per (texture, mip): ``mip_offset[t, m]`` is the quad-row index of texel
+    (0,0); level texels are row-major.  ``mip_sizes[t, m] = (width, height)``.
     """
-    texels: np.ndarray       # u32[N] packed RGBA8 (r | g<<8 | b<<16 | a<<24),
-                             # rows padded by +1 duplicated texel (REPEAT)
-    mip_offsets: np.ndarray  # i32[T, MAX_MIPS] (padded-layout units)
+    texels: np.ndarray       # u32[4*N] packed RGBA8 (r | g<<8 | b<<16 | a<<24),
+                             # quad-interleaved (4 words per texel)
+    mip_offsets: np.ndarray  # i32[T, MAX_MIPS] (texel/quad-row units)
     mip_sizes: np.ndarray    # i32[T, MAX_MIPS, 2]  (w, h) logical, clamped at 1
     n_mips: np.ndarray       # i32[T]
     srgb_flags: np.ndarray = None   # i32[T]: 1 = stored sRGB-encoded
@@ -129,7 +131,7 @@ class SceneArrays:
                 srgb_flags=put(tex.srgb_flags))
         cubemap = None
         if self.cubemap is not None:
-            cubemap = put(pack_rgb9e5(self.cubemap))
+            cubemap = put(quad_pack_cubemap(pack_rgb9e5(self.cubemap)))
         # all-ones vertex colors (glTF COLOR_0 default — true for Sponza
         # and most assets) are represented as None on device: the shading
         # path then folds the multiply away AND packs vertex attributes
@@ -177,6 +179,20 @@ def pack_rgb9e5(rgb: np.ndarray) -> np.ndarray:
     m = np.clip(np.round(c / scale[..., None]).astype(np.int32), 0, 511)
     return (m[..., 0] | (m[..., 1] << 9) | (m[..., 2] << 18)
             | (e << 27)).astype(np.int32)
+
+
+def quad_pack_cubemap(packed: np.ndarray) -> np.ndarray:
+    """RGB9E5 i32[6, F, F] -> quad-interleaved i32[6, F, 4F]: word
+    ``(f, y, 4x + j)`` is corner j of texel (x, y)'s bilinear 2x2
+    neighborhood (self, x+1, y+1, both — CLAMP-to-edge, matching the
+    sampler's per-face clamp), so a cubemap bilinear is ONE row-4 gather
+    (ops/texture.sample_cubemap)."""
+    xp = np.concatenate([packed[:, :, 1:], packed[:, :, -1:]], axis=2)
+    yp = np.concatenate([packed[:, 1:, :], packed[:, -1:, :]], axis=1)
+    xyp = np.concatenate([yp[:, :, 1:], yp[:, :, -1:]], axis=2)
+    f, s, _ = packed.shape
+    return np.stack([packed, xp, yp, xyp],
+                    axis=-1).reshape(f, s, 4 * s).astype(np.int32)
 
 
 def register_pytrees():
