@@ -100,3 +100,21 @@ def test_rejects_garbage(tmp_path):
         f.write(b"not a ktx file at all")
     with pytest.raises(ValueError):
         ktx.load_cubemap(p)
+
+
+def test_cubemap_quad_pack_parity(tmp_path):
+    """quad_pack_cubemap (one row-4 gather per bilinear) must be
+    bit-identical to the plain [6, F, F] form, including face seams and
+    clamp-to-edge corners."""
+    rng = np.random.default_rng(11)
+    from vk_renderer_tpu.scene.types import pack_rgb9e5, quad_pack_cubemap
+    cm = rng.uniform(0.0, 4.0, size=(6, 8, 8, 3)).astype(np.float32)
+    plain = jnp.asarray(pack_rgb9e5(cm))
+    quad = jnp.asarray(quad_pack_cubemap(np.asarray(plain)))
+    d = rng.normal(size=(3, 7, 9)).astype(np.float32)
+    d /= np.maximum(np.linalg.norm(d, axis=0, keepdims=True), 1e-6)
+    dx, dy, dz = (jnp.asarray(d[i]) for i in range(3))
+    want = tex.sample_cubemap(plain, dx, dy, dz)
+    got = tex.sample_cubemap(quad, dx, dy, dz)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))

@@ -142,6 +142,14 @@ def main(argv=None):
                           "avg_fps": round(n / total, 2),
                           "overlap": overlap}))
 
+    # every output is flushed and every frame retired — exit without
+    # waiting on backend teardown (the tunneled-TPU client's atexit can
+    # block for minutes; nothing of value runs after this point)
+    import sys
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
+
 
 if __name__ == "__main__":
     main()

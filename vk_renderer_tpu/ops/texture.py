@@ -479,7 +479,17 @@ def sample_cubemap(cubemap, dx, dy, dz):
 
     if is_quad:
         q = cubemap.reshape(-1, 4)[(face * size + y0i) * size + x0i]
-        w00, w10, w01, w11 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+        # clamp-to-edge at the LOW edge: x0 < 0 clamps BOTH x-corners to
+        # texel 0 (the prebuilt +1 neighbor is texel 1, wrong here); the
+        # high edge is prebuilt as a duplicate.  Same for y.
+        lox = x0 < 0
+        loy = y0 < 0
+        w00 = q[..., 0]
+        w10 = jnp.where(lox, q[..., 0], q[..., 1])
+        w01 = jnp.where(loy, q[..., 0], q[..., 2])
+        w11 = jnp.where(lox & loy, q[..., 0],
+                        jnp.where(lox, q[..., 2],
+                                  jnp.where(loy, q[..., 1], q[..., 3])))
     else:
         x1i = jnp.clip(x0 + 1, 0, size - 1).astype(jnp.int32)
         y1i = jnp.clip(y0 + 1, 0, size - 1).astype(jnp.int32)
