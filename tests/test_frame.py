@@ -251,11 +251,15 @@ class TestConfig5SponzaLike:
         # deep peeling + roomy per-tile caps: the foliage stacks ~6 reject
         # layers at grazing rays and the (few, large) tiles at this tiny
         # resolution hold thousands of triangles each — both must resolve
-        # with ZERO overflow counters for this gate
+        # with ZERO overflow counters for this gate.  shadow_cap: the
+        # widest cascade (3) concentrates up to ~22.2k of the 40k
+        # triangles in one 128x32 tile of the 512^2 map (measured) — the
+        # cap must exceed that or casters are DROPPED (this very drop hid
+        # silently until shadow overflow was folded into bin_overflow)
         cfg = small_cfg(enable_shadows=True,
                         cap_opaque=16384, cap_masked=512,
                         cap_transparent=256, raster_chunk=64,
-                        shadow_cap=16384, shadow_size=512,
+                        shadow_cap=24576, shadow_size=512,
                         masked_peels=8, transparent_peels=3)
         out = driver.render(scene, cam, s, cfg)
         color = np.asarray(out["color"])
@@ -328,3 +332,32 @@ class TestPackedRows:
         c_ref = np.asarray(ref["color"])
         c_out = np.asarray(out["color"])
         np.testing.assert_allclose(c_ref, c_out, atol=1e-6)
+
+
+class TestKRasterAB:
+    def test_k_raster_bit_identical(self):
+        """k-buffer peel layers (one raster pass, cfg.k_raster=True) vs the
+        iterated per-peel rasters: the full frame — masked acceptance,
+        additive transparent sum, every overflow counter — must be
+        BIT-identical (rasterize_plan_k docstring's equivalence claim,
+        checked end-to-end on a scene exercising both peel buckets)."""
+        scene = procedural.build_sponza_like(
+            target_tris=30_000).build().device_put()
+        # camera inside the atrium facing the foliage + light panes
+        cam = Camera(position=np.array([9.0, 1.8, 0.3], np.float32))
+        cam.yaw = np.pi / 2
+        s = RenderSettings(enable_shadows=True, shadow_mode=3,
+                           enable_postprocess=True)
+        kw = dict(enable_shadows=True, cap_opaque=16384, cap_masked=512,
+                  cap_transparent=256, raster_chunk=64, shadow_cap=16384,
+                  shadow_size=512, masked_peels=2, transparent_peels=2)
+        out_k = driver.render(scene, cam, s, small_cfg(k_raster=True, **kw))
+        out_i = driver.render(scene, cam, s, small_cfg(k_raster=False, **kw))
+        np.testing.assert_array_equal(np.asarray(out_k["color_u8"]),
+                                      np.asarray(out_i["color_u8"]))
+        np.testing.assert_array_equal(np.asarray(out_k["depth"]),
+                                      np.asarray(out_i["depth"]))
+        np.testing.assert_array_equal(np.asarray(out_k["stats_vec"]),
+                                      np.asarray(out_i["stats_vec"]))
+        # the masked bucket must actually have exercised acceptance
+        assert int(out_k["stats"]["triangles"]) > 0

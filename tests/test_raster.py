@@ -288,3 +288,93 @@ class TestExactBigBinning:
         assert counts[1, 0] == 0
         # but the sliver IS somewhere (top-left tile contains its start)
         assert counts.sum() >= 2
+
+
+class TestPairCompaction:
+    """binning._compact_keys (compact-before-sort): identical bins to the
+    full-length sort, and COUNTED overflow when the pair cap drops real
+    pairs (the sort costs its static length; compaction removes the
+    sentinel pads, never the semantics)."""
+
+    def _scene(self, n=24, seed=9):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform([0, 0], [W, H], size=(3 * n, 2))
+        clip = make_ortho_clip(pts, rng.uniform(0.2, 0.8, 3 * n))
+        tris = np.arange(3 * n).reshape(n, 3)
+        return rsetup.triangle_setup(jnp.asarray(clip, jnp.float32),
+                                     jnp.asarray(tris, jnp.int32),
+                                     jnp.ones(n, bool), W, H,
+                                     cull=rsetup.CULL_NONE), n
+
+    def test_compacted_bins_identical(self):
+        st, n = self._scene()
+        kw = dict(width=W, height=H, tile_w=32, tile_h=32, caps=(16,),
+                  max_span=16, big_cap=8, edge=st["edge"],
+                  anchor=st["anchor"])
+        (full,) = binning.bin_triangles_buckets(
+            st["bbox"], st["valid"], ((0, n),), **kw)
+        (comp,) = binning.bin_triangles_buckets(
+            st["bbox"], st["valid"], ((0, n),), pair_cap=4096, **kw)
+        np.testing.assert_array_equal(np.asarray(full[0]),
+                                      np.asarray(comp[0]))
+        np.testing.assert_array_equal(np.asarray(full[1]),
+                                      np.asarray(comp[1]))
+        assert int(full[2]) == int(comp[2]) == 0
+
+    def test_compacted_packed_identical(self):
+        st, n = self._scene(seed=17)
+        kw = dict(width=W, height=H, tile_w=128, tile_h=32, caps=(64,),
+                  rec_caps=(64,), max_span=16, big_cap=8,
+                  edge=st["edge"], anchor=st["anchor"])
+        (full,) = binning.bin_buckets_packed(
+            st["bbox"], st["valid"], ((0, n),), **kw)
+        (comp,) = binning.bin_buckets_packed(
+            st["bbox"], st["valid"], ((0, n),), pair_cap=4096, **kw)
+        for key in ("rec_tri", "rec_tile", "rec_start", "counts"):
+            np.testing.assert_array_equal(np.asarray(full[key]),
+                                          np.asarray(comp[key]),
+                                          err_msg=key)
+        assert int(full["overflow"]) == int(comp["overflow"]) == 0
+
+    def test_tiny_pair_cap_counts_overflow(self):
+        st, n = self._scene()
+        kw = dict(width=W, height=H, tile_w=32, tile_h=32, caps=(16,),
+                  max_span=16, big_cap=8, edge=st["edge"],
+                  anchor=st["anchor"])
+        (full,) = binning.bin_triangles_buckets(
+            st["bbox"], st["valid"], ((0, n),), **kw)
+        # count the real pairs via a roomy compaction, then halve the cap
+        (comp,) = binning.bin_triangles_buckets(
+            st["bbox"], st["valid"], ((0, n),), pair_cap=4096, **kw)
+        total = int(np.asarray(full[1]).sum())
+        assert total > 8
+        (tiny,) = binning.bin_triangles_buckets(
+            st["bbox"], st["valid"], ((0, n),), pair_cap=8, **kw)
+        assert int(tiny[2]) >= total - 8  # dropped pairs counted
+
+    def test_packed_cond_fallback_exact(self):
+        """Packed path with an undersized pair_cap must lax.cond-fall back
+        to the full sort: plans IDENTICAL to the uncompacted build, with
+        the miss counted in pair_fallback (never dropped)."""
+        st, n = self._scene(seed=21)
+        kw = dict(width=W, height=H, tile_w=128, tile_h=32, caps=(64,),
+                  rec_caps=(64,), max_span=16, big_cap=8,
+                  edge=st["edge"], anchor=st["anchor"])
+        (full,) = binning.bin_buckets_packed(
+            st["bbox"], st["valid"], ((0, n),), **kw)
+        (tiny,) = binning.bin_buckets_packed(
+            st["bbox"], st["valid"], ((0, n),), pair_cap=8, **kw)
+        for key in ("rec_tri", "rec_tile", "rec_start", "counts"):
+            np.testing.assert_array_equal(np.asarray(full[key]),
+                                          np.asarray(tiny[key]),
+                                          err_msg=key)
+        assert int(full["overflow"]) == int(tiny["overflow"]) == 0
+        assert int(tiny["pair_fallback"]) > 0
+        # roomy cap: compacted sort, no fallback, same plans
+        (comp,) = binning.bin_buckets_packed(
+            st["bbox"], st["valid"], ((0, n),), pair_cap=4096, **kw)
+        for key in ("rec_tri", "rec_tile", "rec_start", "counts"):
+            np.testing.assert_array_equal(np.asarray(full[key]),
+                                          np.asarray(comp[key]),
+                                          err_msg=key)
+        assert int(comp["pair_fallback"]) == 0

@@ -285,8 +285,12 @@ class TestClassifiedShadow:
         n_dot_l = jnp.ones((h, w), jnp.float32)
         return packed, coarse, sd, gbuf, n_dot_l
 
-    def _check_mode(self, seed, structured, mode, traced=False):
+    def _check_mode(self, seed, structured, mode, traced=False, fine=False):
         packed, coarse, sd, gbuf, n_dot_l = self._setup(seed, structured)
+        # block 8: Hard/PCF windows (hw 4-5) fit its 2x2 cells only when
+        # favorably aligned, so both the proven and unfit fine paths run
+        fine_tbl = (tex.make_coarse_rows(
+            tex.build_shadow_coarse(packed, block=8)) if fine else None)
         mode_arg = jnp.float32(mode) if traced else mode
         en_arg = jnp.float32(1.0) if traced else True
         want = shade.compute_shadow_factor(
@@ -294,11 +298,12 @@ class TestClassifiedShadow:
             sd, mode_arg, en_arg)
         got, ovf = shade.classified_shadow_factor(
             packed, coarse, gbuf, sd, mode_arg, en_arg, n_dot_l,
-            cap=n_dot_l.size)
+            cap=n_dot_l.size, shadow_fine=fine_tbl)
         assert int(ovf) == 0
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg=f"mode {mode} traced={traced} "
-                                              f"structured={structured}")
+                                              f"structured={structured} "
+                                              f"fine={fine}")
 
     def test_exact_vs_dense_all_modes_structured(self):
         for mode in range(4):
@@ -312,6 +317,94 @@ class TestClassifiedShadow:
         for mode in range(4):
             self._check_mode(30 + mode, structured=True, mode=mode,
                              traced=True)
+
+    def test_exact_vs_dense_with_fine_table(self):
+        """The two-level (coarse, fine) classifier must stay EXACT — the
+        fine lit proof (shade._classify_shadow receiver-in-map stage) can
+        only ever move pixels from uncertain to certain-lit when the
+        filter provably returns 0."""
+        for mode in range(4):
+            self._check_mode(40 + mode, structured=True, mode=mode,
+                             fine=True)
+            self._check_mode(50 + mode, structured=False, mode=mode,
+                             fine=True)
+
+    def test_exact_vs_dense_with_fine_traced(self):
+        for mode in range(4):
+            self._check_mode(60 + mode, structured=True, mode=mode,
+                             traced=True, fine=True)
+
+    def test_fine_proves_receiver_in_map_lit(self):
+        """The receiver-in-map case (the reference's cascade maps CONTAIN
+        the lit receivers — front culling with the unflipped light matrix
+        keeps light-facing faces): on a gently sloped surface whose
+        receivers sit ON the map, the coarse window-min lit proof can
+        never hold (the window min is the receiver's own down-slope
+        surface), but the fine level must prove most such pixels lit."""
+        size = 256
+        # production block sizes (2048-map values: coarse 64, fine 16).
+        # Slope m = 1.2e-5 depth/texel with receiver offset o = 2e-4:
+        #   fine window min reach <= 21 texels (hw_f = 5 over 16-cells)
+        #     -> drop m*21 = 2.5e-4 < bias - o = 3e-4: fine PROVES lit;
+        #   coarse window min reach is 6..70 texels (64-cells) -> drop
+        #     up to 8.4e-4 > 3e-4 for most pixels: coarse CANNOT
+        m = 1.2e-5
+        x = np.arange(size, dtype=np.float32) * m
+        smap = np.broadcast_to(0.5 + x, (4, size, size)).copy()
+        packed = _pack(smap)
+        coarse = tex.make_coarse_rows(tex.build_shadow_coarse(packed,
+                                                              block=64))
+        fine = tex.make_coarse_rows(tex.build_shadow_coarse(packed,
+                                                            block=16))
+        rng = np.random.default_rng(4)
+        h, w = 16, 24
+        # receivers ON the surface: sz = the surface depth at su + 2e-4
+        # (inside the bias band: the dense hard test reads them lit)
+        wx = rng.uniform(-0.8, 0.8, (h, w)).astype(np.float32)
+        wy = rng.uniform(-0.8, 0.8, (h, w)).astype(np.float32)
+        su = wx * 0.5 + 0.5
+        wz = (0.5 + m * (su * size) + 2e-4).astype(np.float32)
+        sd = {"cascade_distances": jnp.asarray([2.0, 8.0, 22.0, 100.0],
+                                               jnp.float32),
+              "light_viewproj": jnp.asarray(
+                  np.stack([np.eye(4, dtype=np.float32)] * 4))}
+        view_z = rng.uniform(0.5, 80, (h, w)).astype(np.float32)
+        su_j, sv_j, sz_j, layer = shade.shadow_coords(
+            jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(wz),
+            jnp.asarray(view_z), sd, 3)
+        lit_co, blk_co = shade._classify_shadow(
+            coarse, su_j, sv_j, sz_j, layer, size, 3)
+        lit_2l, blk_2l = shade._classify_shadow(
+            coarse, su_j, sv_j, sz_j, layer, size, 3, shadow_fine=fine)
+        frac_co = float(jnp.mean(lit_co.astype(jnp.float32)))
+        frac_2l = float(jnp.mean(lit_2l.astype(jnp.float32)))
+        assert frac_co < 0.6, f"coarse alone proved too much: {frac_co}"
+        assert frac_2l > 0.9, f"fine level failed to prove lit: {frac_2l}"
+        assert frac_2l - frac_co > 0.3, (frac_co, frac_2l)
+        # and the claim must be TRUE: dense CSM factor is 0 everywhere here
+        dense = shade.compute_shadow_factor(
+            packed, jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(wz),
+            jnp.asarray(view_z), sd, 3, True)
+        lit_np = np.asarray(lit_2l)
+        np.testing.assert_array_equal(np.asarray(dense)[lit_np],
+                                      np.zeros(int(lit_np.sum()), np.float32))
+
+    def test_fine_quad_vs_plain_parity(self):
+        """The fine table's CoarseRows quad form must classify identically
+        to the plain [L, sb, sb] array form."""
+        packed, coarse, sd, gbuf, n_dot_l = self._setup(11, structured=True)
+        fine_plain = tex.build_shadow_coarse(packed, block=8)
+        fine_quad = tex.make_coarse_rows(fine_plain)
+        su, sv, sz, layer = shade.shadow_coords(
+            gbuf["wx"], gbuf["wy"], gbuf["wz"], gbuf["view_z"], sd, 3)
+        a = shade._classify_shadow(coarse, su, sv, sz, layer,
+                                   packed.shape[-1], 3,
+                                   shadow_fine=fine_plain)
+        b = shade._classify_shadow(coarse, su, sv, sz, layer,
+                                   packed.shape[-1], 3,
+                                   shadow_fine=fine_quad)
+        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 
     def test_classifier_actually_classifies(self):
         """On the structured map the uncertain band must be well under the

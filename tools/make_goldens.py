@@ -39,9 +39,14 @@ def golden_configs():
     from vk_renderer_tpu.scene import procedural
 
     def cfg(**kw):
+        # shadow_cap = 40960 >= the sponza-class scene's triangle count:
+        # the widest cascade can concentrate nearly ALL casters in one
+        # tile of a small shadow map (22.2k of 40k measured in one
+        # 128x32 tile at 512^2), and goldens must render with ZERO
+        # dropped casters now that shadow overflow is surfaced
         base = dict(width=W, height=H, cap_opaque=16384, cap_masked=512,
                     cap_transparent=256, raster_chunk=64, masked_chunk=16,
-                    shadow_size=256, shadow_cap=16384, rec_opaque=4096,
+                    shadow_size=256, shadow_cap=40960, rec_opaque=4096,
                     rec_shadow=4096, masked_peels=8)
         base.update(kw)
         return FrameConfig(**base)

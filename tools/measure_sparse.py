@@ -55,8 +55,8 @@ def main():
             scene.positions, scene.vert_obj, scene.obj_world, sd["viewproj"])
         world_nrm = rsetup.transform_normals(scene.normals, scene.vert_obj,
                                              scene.obj_world)
-        shadow_maps = F.render_shadow_maps(scene, world_pos, tri_visible,
-                                           sd["light_viewproj"], cfg)
+        shadow_maps, _, _ = F.render_shadow_maps(
+            scene, world_pos, tri_visible, sd["light_viewproj"], cfg)
         coarse = tex.build_shadow_coarse(shadow_maps)
 
         st = rsetup.triangle_setup(clip, scene.tris, tri_visible, w, h,
@@ -110,8 +110,32 @@ def main():
         su, sv, sz, layer = shade.shadow_coords(
             gbuf["wx"], gbuf["wy"], gbuf["wz"], gbuf["view_z"], sd, 3)
         active = gbuf["covered"] & (n_dot_l > 0.0)
-        lit_c, blk_c = shade._classify_shadow(
-            coarse, su, sv, sz, layer, shadow_maps.shape[-1], 3)
+        crows = tex.make_coarse_rows(coarse)
+        lit_c, blk_c, parts = shade._classify_shadow(
+            crows, su, sv, sz, layer, shadow_maps.shape[-1], 3,
+            return_parts=True)
+        # two-level classifier (the production default): fine level adds
+        # the receiver-in-map lit proof
+        fine = tex.make_coarse_rows(tex.build_shadow_coarse(
+            shadow_maps, block=tex.fine_block_for(shadow_maps.shape[-1])))
+        lit_2l, blk_2l = shade._classify_shadow(
+            crows, su, sv, sz, layer, shadow_maps.shape[-1], 3,
+            shadow_fine=fine)
+        # ground-truth proxy: the 1-tap hard test at the window center
+        srows = tex.make_shadow_rows(shadow_maps)
+        hard = shade._shadow_hard(srows, su, sv, sz, layer)
+        unc = active & ~lit_c & ~blk_c
+
+        # trilinear LOD-fraction split for the albedo texture: pixels with
+        # frac == 0 (magnified, lam clamps to 0, or integer lam) need NO
+        # second-mip fetch — the exact-skip domain; frac near 0/1 sizes the
+        # gated snap variant
+        mat_id = gbuf["mat_id"]
+        albedo_id = jnp.take(scene.mat_tex_ids[:, 0], mat_id)
+        lam, _ = tex.compute_lod(scene.textures, albedo_id, gbuf["dudx"],
+                                 gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"])
+        frac = lam - jnp.floor(lam)
+        cov = gbuf["covered"]
 
         cnt = lambda m: jnp.sum(m.astype(jnp.int32))
         return jnp.stack([
@@ -121,12 +145,30 @@ def main():
             cnt(depth >= 1.0),              # sky pixels
             cnt(t_m >= 0),                  # masked bucket first-peel cover
             cnt(t_t >= 0),                  # transparent first-peel cover
+            cnt(cov & (frac == 0.0)),       # exact l1-skip domain
+            cnt(cov & (frac < 0.1)),        # gated snap-to-l0 domain
+            cnt(cov & (frac > 0.9)),        # gated snap-to-l1 domain
+            # ---- classifier diagnostics over the UNCERTAIN band
+            cnt(unc & ~parts["fits"]),                 # window > 2x2 cells
+            cnt(unc & parts["fits"] & (hard == 0.0)),  # hard-lit, unproven
+            cnt(unc & parts["fits"] & (hard == 1.0)),  # hard-blk, unproven
+            cnt(unc & parts["fits"] & (hard == 1.0)
+                & parts["blk_depth_ok"] & ~parts["in_region"]),
+            cnt(unc & parts["border_lit"]),            # window off-map
+            cnt(active & (hard == 0.0)),               # hard-lit among active
+            # ---- two-level classifier (production default)
+            cnt(active & lit_2l), cnt(active & blk_2l),
+            cnt(active & ~lit_2l & ~blk_2l),
         ])
 
     v = np.asarray(measure(scene, sd))
     n = args.width * args.height
     names = ["covered", "shadow_active", "certain_lit", "certain_blocked",
-             "uncertain", "sky", "masked_peel0", "transparent_peel0"]
+             "uncertain", "sky", "masked_peel0", "transparent_peel0",
+             "lod_frac0", "lod_frac_lo", "lod_frac_hi",
+             "unc_nofits", "unc_hardlit", "unc_hardblk",
+             "unc_blk_region_fail", "unc_border", "active_hardlit",
+             "lit_2level", "blk_2level", "uncertain_2level"]
     for name, val in zip(names, v):
         print(f"{name:<18} {int(val):>9}  ({100.0 * int(val) / n:5.1f}% of frame)")
     caps = {"shadow_classify_cap": F._resolve_classify_cap(cfg),

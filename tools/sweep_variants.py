@@ -23,7 +23,15 @@ import numpy as np
 
 
 VARIANTS = [
-    ("baseline", {}),
+    ("baseline", {}),            # k_raster ON + pair_cap auto (defaults)
+    # round-3 structural changes, A/B'd OFF against the new baseline
+    ("no_k_raster", {"k_raster": False}),
+    ("no_fine_classify", {"shadow_fine_classify": False}),
+    ("no_pair_compact", {"pair_cap": 0, "shadow_pair_cap": 0}),
+    # tighter compaction (auto is 8 pairs/tri + 64k slack; overflow>0 in
+    # the stats line means the cap lies — discard that variant)
+    ("pair4/tri", {"pair_cap": 260_000 * 4 + 65_536,
+                   "shadow_pair_cap": 260_000 * 4 + 65_536}),
     ("packed_rows", {"packed_rows": True}),
     ("mr_trilinear", {"mr_nearest_mip": False}),
     ("max_span8", {"max_span": 8, "big_cap": 2048}),

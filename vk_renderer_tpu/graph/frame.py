@@ -57,11 +57,15 @@ class FrameConfig:
     masked_peels: int = 2
     # occupancy-packed record caps (TPU path; auto-shrunk to scene size).
     # Record-build cost is proportional to the STATIC cap, and truncation
-    # is counted in bin_overflow — sized ~5x above bench-scene occupancy
+    # is counted in bin_overflow — sized ~5x above bench-scene occupancy.
+    # rec_shadow: the bench scene's cascades need up to ~4.2k chunks EACH
+    # (260k tris over the 2048^2 map; measured per-cascade 4116/3732/
+    # 3551/1456) — the old 2048 silently truncated roughly half the
+    # shadow records until shadow overflow was folded into bin_overflow
     rec_opaque: int = 4096
     rec_masked: int = 2048
     rec_transparent: int = 1024
-    rec_shadow: int = 2048
+    rec_shadow: int = 5120
     # big-triangle capacity for EXACT big binning (near-plane-crossing
     # floors, grazing slivers — binning._big_exact_keys); the honest bench
     # scene has ~900 such triangles at the flagship camera
@@ -78,12 +82,28 @@ class FrameConfig:
     # footprints differ from camera-space ones
     shadow_max_span: int = 16
     shadow_big_cap: int = 1024
+    # compact-before-sort pair capacity (binning._compact_keys): the bin
+    # sort costs its STATIC length (T*max_span + big_cap*n_tiles keys,
+    # mostly sentinel pads), so the real pairs are scattered into a
+    # right-sized list first.  -1 = auto (8 pairs/triangle + big slack),
+    # 0 = off (full-length sort), >0 = explicit.  EXACT on every path:
+    # when the real pairs exceed the cap a lax.cond sorts the full
+    # emission instead; misses land in the fallback_px stat (a sizing
+    # signal, not a deviation).  TPU path only
+    pair_cap: int = -1
+    shadow_pair_cap: int = -1
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     # compiles the shadow SUBSYSTEM in (pipelines-at-init analog); the
     # per-frame on/off and filter mode are TRACED scene_data channels
     enable_shadows: bool = False     # vk_engine.h:116 default off
     shadow_size: int = 2048          # vk_engine.h:107
-    shadow_cap: int = 4096
+    # per-tile caster capacity: the widest cascade concentrates up to
+    # ~18.2k of the bench scene's 260k triangles in ONE 128x32 tile
+    # (measured at the bench camera) — the old 4096 dropped ~131k
+    # cascade-3 pairs per frame, silently until shadow overflow was
+    # folded into bin_overflow.  Memory-free on the TPU packed path
+    # (counts clamp only; records are bounded by rec_shadow)
+    shadow_cap: int = 24576
     # cascades actually RASTERED (the reference bakes this into separate
     # pipelines: modes < 3 render one cascade, vk_engine_run.cpp:336; CSM
     # renders NUM_CASCADES).  Static — pick 1 for Hard/PCF/PCSS configs,
@@ -112,6 +132,14 @@ class FrameConfig:
     # Beyond the cap a lax.cond runs the dense filter instead — exact on
     # every path; the miss count lands in the fallback_px stat
     shadow_classify_cap: int = -1
+    # second (FINE) classifier level carrying the receiver-in-map lit
+    # proof (shade._classify_shadow docstring): the reference's cascade
+    # maps CONTAIN the lit receivers (front culling keeps light-facing
+    # faces — vk_engine_run.cpp:541 omits the y-flip of :488), so the
+    # coarse window-min lit test alone leaves ~100% of hard-lit pixels
+    # "uncertain" (measured, tools/measure_sparse.py).  The fine level
+    # bounds the PCF disk instead.  False = coarse-only (A/B benching)
+    shadow_fine_classify: bool = True
     # sparse skybox: only compacted uncovered pixels sample the cubemap
     # (-1 = auto cap, 0 = dense, >0 explicit).  Dense lax.cond fallback
     # beyond the cap — exact on every path (fallback_px counts misses)
@@ -121,6 +149,14 @@ class FrameConfig:
     # gathers.  Default OFF = exact; tests gate the ON path vs goldens
     # at >= 40 dB (VERDICT r2 task 3)
     mr_nearest_mip: bool = False
+    # k-buffer raster (EXACT): the masked/transparent buckets' peels+1
+    # rasterizations (peel 0, peel 1, overflow probe) collapse into ONE
+    # pass over the records that keeps the peels+1 nearest strictly-
+    # increasing-depth fragments per pixel (raster.rasterize_plan_k) —
+    # proven equal to iterated strict peeling incl. LEQUAL later-wins
+    # ties (tests/test_raster_pallas.py, tests/test_frame.py A/B).
+    # False = the iterated per-peel rasters (A/B benching)
+    k_raster: bool = True
     # EXACT layout experiment (colorless scenes): pack every per-pixel
     # interpolation input (edge planes, anchor, 3 corner attribute rows,
     # material scalars) into one [T+1, 48] per-triangle row
@@ -192,6 +228,41 @@ def _resolve_sky_cap(cfg: FrameConfig) -> int | None:
     if cfg.sky_sparse_cap > 0:
         return cfg.sky_sparse_cap
     return max(8192, (cfg.width * cfg.height) // 3)
+
+
+def _resolve_pair_cap(cfg_cap: int, n_tris: int, max_span: int,
+                      big_cap: int, n_tiles: int) -> int:
+    """Compact-before-sort capacity: -1 = auto (2 pairs per triangle —
+    measured real pairs at the 1080p bench camera are 0.75/tri for the
+    camera view and ~0.9/tri per shadow cascade, so >2x headroom — plus
+    a big-pair/small-scene slack floor), 0 = off, >0 explicit.  A miss
+    lax.cond-falls back to the full-length sort (exact, just slower) and
+    is counted in fallback_px, so a tight cap risks speed only.  Clamped
+    to the full emission length (beyond which compaction is a pure
+    pessimization)."""
+    full = n_tris * max_span + big_cap * n_tiles
+    if cfg_cap == 0:
+        return 0
+    cap = cfg_cap if cfg_cap > 0 else max(1 << 17, n_tris * 2 + 65536)
+    return min(cap, full)
+
+
+def _build_classifier_tables(shadow_packed, cfg: FrameConfig):
+    """Min/max classifier tables for penumbra-classified sparse shadow
+    filtering (shade.classified_shadow_factor): the coarse level bounds
+    every filter window; with ``cfg.shadow_fine_classify`` a second,
+    finer level is returned as a (coarse, fine) tuple for the
+    receiver-in-map lit proof.  Both are cheap block reductions over the
+    pair-packed maps."""
+    if cfg.shadow_classify_cap == 0:
+        return None
+    coarse = tex.make_coarse_rows(tex.build_shadow_coarse(shadow_packed))
+    if not cfg.shadow_fine_classify:
+        return coarse
+    size = shadow_packed.shape[-1]
+    fine = tex.make_coarse_rows(tex.build_shadow_coarse(
+        shadow_packed, block=tex.fine_block_for(size)))
+    return (coarse, fine)
 
 
 def _frustum_planes(viewproj: jax.Array) -> jax.Array:
@@ -269,18 +340,10 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         alpha_d = _winner_alpha(scene, t2, rows, vattr, ptbl=ptbl)
         return (alpha_d >= 0.5).reshape(-1)
 
-    floor = None
-    fallback = jnp.int32(0)
-    for _ in range(cfg.masked_peels):
-        d2, t2 = raster.rasterize_plan(
-            plan_m, padded, w, h, n_tris, tile_w=cfg.tile_w,
-            tile_h=cfg.tile_h, chunk=cfg.masked_chunk, init_depth=depth,
-            init_id=no_id, floor_depth=floor)
-        found = t2 >= 0
-        n_found = jnp.sum(found.astype(jnp.int32))
+    def tiered_accept(t2, n_found):
         # zero tier first: cameras not facing foliage skip the cap-sized
         # alpha evaluation entirely (no found pixel can be accepted)
-        accept_flat = jax.lax.cond(
+        return jax.lax.cond(
             n_found == 0,
             lambda t: jnp.zeros((w * h,), bool),
             lambda t: jax.lax.cond(
@@ -291,6 +354,42 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
                                        accept_dense, u),
                 t),
             t2)
+
+    fallback = jnp.int32(0)
+    if cfg.k_raster:
+        # ONE record pass yields peels+1 strict peel layers; the last is
+        # the honest-cap probe layer (VERDICT r1 #6).  Acceptance gating
+        # happens here in XLA-land: layer k's alpha runs only where every
+        # nearer layer was found-and-rejected — the exact domain the
+        # iterated peel-k raster would have found
+        layers = raster.rasterize_plan_k(
+            plan_m, padded, w, h, n_tris, cfg.masked_peels + 1, depth,
+            tile_w=cfg.tile_w, tile_h=cfg.tile_h, chunk=cfg.masked_chunk)
+        pending = None
+        for k in range(cfg.masked_peels):
+            ld, lt = layers[k]
+            domain = (lt >= 0) if pending is None else pending & (lt >= 0)
+            t2 = jnp.where(domain, lt, -1)
+            n_found = jnp.sum(domain.astype(jnp.int32))
+            accept_flat = tiered_accept(t2, n_found)
+            fallback = fallback + jnp.maximum(n_found - cap, 0)
+            accept = domain & accept_flat.reshape(h, w)
+            depth = jnp.where(accept, ld, depth)
+            tid = jnp.where(accept, lt, tid)
+            pending = domain & ~accept
+        peel_ovf = jnp.sum((pending & (layers[-1][1] >= 0))
+                           .astype(jnp.int32))
+        return depth, tid, peel_ovf, fallback
+
+    floor = None
+    for _ in range(cfg.masked_peels):
+        d2, t2 = raster.rasterize_plan(
+            plan_m, padded, w, h, n_tris, tile_w=cfg.tile_w,
+            tile_h=cfg.tile_h, chunk=cfg.masked_chunk, init_depth=depth,
+            init_id=no_id, floor_depth=floor)
+        found = t2 >= 0
+        n_found = jnp.sum(found.astype(jnp.int32))
+        accept_flat = tiered_accept(t2, n_found)
         fallback = fallback + jnp.maximum(n_found - cap, 0)
         accept = found & accept_flat.reshape(h, w)
         depth = jnp.where(accept, d2, depth)
@@ -331,6 +430,10 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
     # instead of 12 takes over 260k triangles per cascade
     cw = rsetup.gather_corner_positions(world_pos, scene.tris)
 
+    sh_pair_cap = _resolve_pair_cap(
+        cfg.shadow_pair_cap, n_tris, cfg.shadow_max_span,
+        cfg.shadow_big_cap, cdiv(s, cfg.tile_w) * cdiv(out_h, cfg.tile_h))
+
     def one_cascade(lvp):
         corn = tuple([lvp[r, 0] * cw[0][k] + lvp[r, 1] * cw[1][k]
                       + lvp[r, 2] * cw[2][k] + lvp[r, 3] for k in range(3)]
@@ -340,23 +443,25 @@ def render_shadow_maps(scene, world_pos, tri_visible, light_viewproj,
         (plan,) = raster.plan_view_buckets(
             st, ((0, n_tris),), s, out_h, cfg.tile_w, cfg.tile_h,
             (cfg.shadow_cap,), (cfg.rec_shadow,), big_cap=cfg.shadow_big_cap,
-            max_span=cfg.shadow_max_span)
+            max_span=cfg.shadow_max_span, pair_cap=sh_pair_cap)
         padded = raster.pad_setup(st)
         plan = raster.prepare_records(plan, padded, st["bbox"], s,
                                       cfg.tile_w, cfg.tile_h)
         d, _ = raster.rasterize_plan(plan, padded, s, out_h, n_tris,
                                      tile_w=cfg.tile_w, tile_h=cfg.tile_h,
                                      chunk=cfg.raster_chunk)
-        return d
+        return d, plan["overflow"], plan.get("pair_fallback", jnp.int32(0))
 
     # UNROLLED over cascades (a lax.scan body serializes the setup/bin
     # gathers against the carry — the round-1 shadow pass cost ~2x its
     # standalone ingredients; straight-line cascades also let XLA overlap)
-    maps = jnp.stack([one_cascade(light_viewproj[i])
-                      for i in range(n_active)])
+    results = [one_cascade(light_viewproj[i]) for i in range(n_active)]
+    maps = jnp.stack([d for d, _, _ in results])
+    overflow = sum(o for _, o, _ in results)
+    fallback = sum(f for _, _, f in results)
     # pair-packed 16-bit form: halves the shadow filters' gather count
     # (tex.pack_shadow_maps)
-    return tex.pack_shadow_maps(maps)
+    return tex.pack_shadow_maps(maps), overflow, fallback
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -381,29 +486,34 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
         world_pos, _ = rsetup.transform_vertices(
             scene.positions, scene.vert_obj, scene.obj_world,
             scene_data["viewproj"])
-        shadow_packed = render_shadow_maps(scene, world_pos, tri_visible,
-                                           scene_data["light_viewproj"], cfg)
-        shadow_coarse = (tex.make_coarse_rows(
-            tex.build_shadow_coarse(shadow_packed))
-            if cfg.shadow_classify_cap != 0 else None)
+        shadow_packed, shadow_ovf, shadow_fb = render_shadow_maps(
+            scene, world_pos, tri_visible, scene_data["light_viewproj"], cfg)
+        shadow_coarse = _build_classifier_tables(shadow_packed, cfg)
         # row-grouped form: every filter tap is ONE row-8 gather
         shadow_maps = tex.make_shadow_rows(shadow_packed)
     else:
         shadow_maps = tex.pack_shadow_maps(
             jnp.ones((NUM_CASCADES, 1, 1), jnp.float32))
         shadow_coarse = None
+        shadow_ovf = jnp.int32(0)
+        shadow_fb = jnp.int32(0)
     return render_view(scene, scene_data, settings, cfg, shadow_maps,
-                       shadow_coarse=shadow_coarse)
+                       shadow_coarse=shadow_coarse,
+                       extra_bin_overflow=shadow_ovf,
+                       extra_fallback=shadow_fb)
 
 
 def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                 shadow_maps, y_offset=0.0, full_height: int | None = None,
-                shadow_coarse=None):
+                shadow_coarse=None, extra_bin_overflow=None,
+                extra_fallback=None):
     """Camera-view render (everything except the shadow pass) for a
     horizontal viewport strip of cfg.height rows starting at ``y_offset``
     within a ``full_height``-tall frame.  Single-chip path uses the whole
     frame (offset 0); the sharded path passes per-device strips with a
-    row-remapped ``scene_data['viewproj']``."""
+    row-remapped ``scene_data['viewproj']``.  ``extra_bin_overflow``: the
+    shadow pass's bin/pair overflow, folded into the frame's
+    bin_overflow stat (deviation counting must cover every raster)."""
     w, h = cfg.width, cfg.height
     full_height = h if full_height is None else full_height
     n_tris = scene.tris[0].shape[0]
@@ -464,7 +574,10 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
         rec_caps.append(cfg.rec_transparent)
     plans = list(raster.plan_view_buckets(
         st, tuple(bounds), w, h, cfg.tile_w, cfg.tile_h, tuple(caps),
-        tuple(rec_caps), big_cap=cfg.big_cap, max_span=cfg.max_span))
+        tuple(rec_caps), big_cap=cfg.big_cap, max_span=cfg.max_span,
+        pair_cap=_resolve_pair_cap(
+            cfg.pair_cap, n_tris, cfg.max_span, cfg.big_cap,
+            cdiv(w, cfg.tile_w) * cdiv(h, cfg.tile_h))))
     plan_o = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                     cfg.tile_w, cfg.tile_h)
     depth, tid = raster.rasterize_plan(plan_o, padded, w, h, n_tris,
@@ -472,9 +585,15 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                                        chunk=cfg.raster_chunk)
 
     overflow = plan_o["overflow"]
+    if extra_bin_overflow is not None:
+        overflow = overflow + extra_bin_overflow
     peel_overflow = jnp.int32(0)
     sparse_overflow = jnp.int32(0)
-    fallback_px = jnp.int32(0)
+    # camera-view pair_cap misses are shared across the buckets' plans —
+    # count once; the shadow pass's misses arrive via extra_fallback
+    fallback_px = plan_o.get("pair_fallback", jnp.int32(0))
+    if extra_fallback is not None:
+        fallback_px = fallback_px + extra_fallback
     if scene.n_masked > 0:
         plan_m = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                         cfg.tile_w, cfg.tile_h)
@@ -740,29 +859,44 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
                       for cf, rc in zip(color_flat, rgb)),
                 ovf + sp_sh)
 
-    floor = None
+    def shade_tiered(tidt, color_flat):
+        if cap_small >= cap_large:
+            return shade_peel(tidt, color_flat, cap_large)
+        n_cov = jnp.sum((tidt >= 0).astype(jnp.int32))
+        # zero tier: most cameras see NO transparent pixels at all
+        # (the bench camera does) — skip the cap-sized shading whole
+        return jax.lax.cond(
+            n_cov == 0,
+            lambda cf: (cf, jnp.int32(0)),
+            lambda cf: jax.lax.cond(
+                n_cov <= cap_small,
+                lambda c2: shade_peel(tidt, c2, cap_small),
+                lambda c2: shade_peel(tidt, c2, cap_large),
+                cf),
+            color_flat)
+
     sparse_ovf = jnp.int32(0)
     color_flat = tuple(c.reshape(-1) for c in color)
+    if cfg.k_raster:
+        # one record pass for all peel layers + the probe layer
+        layers = raster.rasterize_plan_k(
+            plan_t, padded, w, h, n_tris, cfg.transparent_peels + 1,
+            opaque_depth, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            chunk=cfg.raster_chunk)
+        for k in range(cfg.transparent_peels):
+            color_flat, ovf = shade_tiered(layers[k][1], color_flat)
+            sparse_ovf = sparse_ovf + ovf
+        peel_ovf = jnp.sum((layers[-1][1] >= 0).astype(jnp.int32))
+        color = tuple(cf.reshape(h, w) for cf in color_flat)
+        return color, peel_ovf, sparse_ovf
+
+    floor = None
     for _ in range(cfg.transparent_peels):
         d, tidt = raster.rasterize_plan(
             plan_t, padded, w, h, n_tris, tile_w=cfg.tile_w,
             tile_h=cfg.tile_h, chunk=cfg.raster_chunk,
             init_depth=opaque_depth, init_id=no_id, floor_depth=floor)
-        if cap_small < cap_large:
-            n_cov = jnp.sum((tidt >= 0).astype(jnp.int32))
-            # zero tier: most cameras see NO transparent pixels at all
-            # (the bench camera does) — skip the cap-sized shading whole
-            color_flat, ovf = jax.lax.cond(
-                n_cov == 0,
-                lambda cf: (cf, jnp.int32(0)),
-                lambda cf: jax.lax.cond(
-                    n_cov <= cap_small,
-                    lambda c2: shade_peel(tidt, c2, cap_small),
-                    lambda c2: shade_peel(tidt, c2, cap_large),
-                    cf),
-                color_flat)
-        else:
-            color_flat, ovf = shade_peel(tidt, color_flat, cap_large)
+        color_flat, ovf = shade_tiered(tidt, color_flat)
         sparse_ovf = sparse_ovf + ovf
         floor = jnp.where(tidt >= 0, d, 2.0)            # peel past this layer
     _, t3 = raster.rasterize_plan(

@@ -114,7 +114,10 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     def stage_bin(st):
         return raster.plan_view_buckets(
             st, tuple(bounds), w, h, cfg.tile_w, cfg.tile_h, tuple(caps),
-            tuple(rec_caps), big_cap=cfg.big_cap)
+            tuple(rec_caps), big_cap=cfg.big_cap, max_span=cfg.max_span,
+            pair_cap=F._resolve_pair_cap(
+                cfg.pair_cap, n_tris, cfg.max_span, cfg.big_cap,
+                (w // cfg.tile_w) * ((h + cfg.tile_h - 1) // cfg.tile_h)))
 
     ms, plan_out = _timed(jax.jit(stage_bin), st, iters=iters)
     timings["bin"] = ms
@@ -188,7 +191,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     if cfg.enable_shadows:
         def stage_shadow(scene, world_pos, tri_visible, sd):
             return F.render_shadow_maps(scene, world_pos, tri_visible,
-                                        sd["light_viewproj"], cfg)
+                                        sd["light_viewproj"], cfg)[0]
 
         ms, shadow_maps = _timed(jax.jit(stage_shadow), scene,
                                  setup_out["world_pos"],

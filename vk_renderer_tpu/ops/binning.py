@@ -98,14 +98,34 @@ def _big_exact_keys(edge, anchor, bbox, big, tri_ids, rows: int, cols: int,
     return keys.reshape(-1), big_total
 
 
-def _pair_sort(bbox, valid, width: int, height: int, tile_w: int,
-               tile_h: int, max_span: int, edge=None, anchor=None,
-               big_cap: int = 512):
-    """Shared core: pack (tile, tri) pairs into int32 keys and sort.
+def _compact_keys(keys: jax.Array, real: jax.Array, sentinel_key,
+                  cap: int):
+    """Scatter the ``real`` keys into a [cap] list (sentinel-key padded),
+    dropping (and COUNTING) beyond-cap entries.
+
+    The sort's cost is its STATIC length — every sentinel pad rides all
+    O(n log n) passes — while a scatter is one cheap pass, so compacting
+    the real pairs out of the [T, max_span] / [big_cap, n_tiles]
+    emission grids before sorting cuts the bin stage's dominant cost by
+    the pad fraction.  Exactness: dropped pairs are whole candidate
+    (tile, triangle) entries, surfaced through the callers' overflow
+    counters exactly like per-tile cap overflow — never silent."""
+    pos = jnp.cumsum(real.astype(jnp.int32)) - 1
+    total = pos[-1] + 1
+    tgt = jnp.where(real & (pos < cap), pos, cap)        # cap == OOB drop
+    compact = jnp.full((cap,), sentinel_key, jnp.int32).at[tgt].set(
+        keys, mode="drop", unique_indices=True)
+    return compact, jnp.maximum(total - cap, 0)
+
+
+def _emit_pairs(bbox, valid, width: int, height: int, tile_w: int,
+                tile_h: int, max_span: int, edge=None, anchor=None,
+                big_cap: int = 512):
+    """Emit the UNSORTED (tile, tri) int32 keys plus their real-pair mask.
     With ``edge``/``anchor`` given, big triangles contribute EXACT pairs
-    to the same sort (see _big_exact_keys) and the returned ``big`` mask
-    is all-False; otherwise callers handle big triangles via the legacy
-    front-of-tile list."""
+    to the same emission (see _big_exact_keys) and the returned ``big``
+    mask is all-False; otherwise callers handle big triangles via the
+    legacy front-of-tile list."""
     bx0, by0, bx1, by1 = bbox
     n_tris = bx0.shape[0]
     rows = cdiv(height, tile_h)
@@ -133,19 +153,42 @@ def _pair_sort(bbox, valid, width: int, height: int, tile_w: int,
     dy = k // nx[:, None]
     tile_id = (ty0[:, None] + dy) * cols + (tx0[:, None] + dx)
     pair_ok = small[:, None] & (k < span[:, None])
+    sentinel_key = jnp.int32(n_tiles << log2p)
     keys = jnp.where(pair_ok, (tile_id << log2p) | tri_ids[:, None],
-                     jnp.int32(n_tiles << log2p)).reshape(-1)
+                     sentinel_key).reshape(-1)
+    real = pair_ok.reshape(-1)
     big_exact_total = None
     if edge is not None:
         big_keys, big_exact_total = _big_exact_keys(
             edge, anchor, bbox, big, tri_ids, rows, cols, tile_w, tile_h,
             big_cap, log2p, n_tiles)
         keys = jnp.concatenate([keys, big_keys])
+        real = jnp.concatenate([real, big_keys != sentinel_key])
         big = jnp.zeros_like(big)
+    return (keys, real, sentinel_key, big, tri_ids, log2p, rows, cols,
+            n_tiles, big_exact_total)
+
+
+def _pair_sort(bbox, valid, width: int, height: int, tile_w: int,
+               tile_h: int, max_span: int, edge=None, anchor=None,
+               big_cap: int = 512, pair_cap: int = 0):
+    """_emit_pairs + sort (the dense-bins path).  ``pair_cap`` > 0
+    compacts the real pairs to that static length before sorting
+    (_compact_keys); dropped pairs are returned in the tuple's last slot
+    (``pair_drop``) and are surfaced as bin overflow.  The packed
+    production path instead uses a lax.cond full-sort fallback — exact on
+    every path — in _bin_buckets_packed_impl."""
+    (keys, real, sentinel_key, big, tri_ids, log2p, rows, cols, n_tiles,
+     big_exact_total) = _emit_pairs(
+        bbox, valid, width, height, tile_w, tile_h, max_span, edge=edge,
+        anchor=anchor, big_cap=big_cap)
+    pair_drop = jnp.int32(0)
+    if pair_cap > 0 and pair_cap < keys.shape[0]:
+        keys, pair_drop = _compact_keys(keys, real, sentinel_key, pair_cap)
     keys_s = jax.lax.sort(keys)
     tris_s = keys_s & ((1 << log2p) - 1)
     return (keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles,
-            big_exact_total)
+            big_exact_total, pair_drop)
 
 
 def _bucket_big_list(big, tri_ids, lo, hi, big_cap, sentinel):
@@ -163,17 +206,19 @@ def _bucket_big_list(big, tri_ids, lo, hi, big_cap, sentinel):
 
 @partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
                                    "bounds", "caps", "max_span", "big_cap",
-                                   "has_edges"))
+                                   "has_edges", "pair_cap"))
 def _bin_triangles_buckets_impl(bbox, valid: jax.Array, bounds, width: int,
                                 height: int, tile_w: int, tile_h: int,
                                 caps, max_span: int, big_cap: int,
-                                edge, anchor, has_edges: bool):
+                                edge, anchor, has_edges: bool,
+                                pair_cap: int):
     n_tris = bbox[0].shape[0]
     sentinel = n_tris
     (keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles,
-     big_exact_total) = _pair_sort(
+     big_exact_total, pair_drop) = _pair_sort(
         tuple(bbox), valid, width, height, tile_w, tile_h, max_span,
-        edge=edge if has_edges else None, anchor=anchor, big_cap=big_cap)
+        edge=edge if has_edges else None, anchor=anchor, big_cap=big_cap,
+        pair_cap=pair_cap)
 
     tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
     out = []
@@ -211,7 +256,8 @@ def _bin_triangles_buckets_impl(bbox, valid: jax.Array, bounds, width: int,
             is_big, big_list[jnp.clip(slot, 0, big_cap - 1)],
             jnp.where(small_ok, tris_s[gather_idx], sentinel))
 
-        overflow = jnp.sum(jnp.maximum(counts - cap_eff, 0)) + big_drop
+        overflow = (jnp.sum(jnp.maximum(counts - cap_eff, 0)) + big_drop
+                    + pair_drop)
         out.append((bins.reshape(rows, cols, cap + big_cap),
                     (counts_small + big_eff).reshape(rows, cols), overflow))
     return tuple(out)
@@ -220,7 +266,8 @@ def _bin_triangles_buckets_impl(bbox, valid: jax.Array, bounds, width: int,
 def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
                           height: int, tile_w: int = 128, tile_h: int = 32,
                           caps=(2048,), max_span: int = 16,
-                          big_cap: int = 512, edge=None, anchor=None):
+                          big_cap: int = 512, edge=None, anchor=None,
+                          pair_cap: int = 0):
     """Bin all buckets of a view with ONE pair sort (dense-bins form).
 
     bbox: (x0, y0, x1, y1) planar over T (a 2-D [T, 4] array is also
@@ -242,23 +289,16 @@ def bin_triangles_buckets(bbox, valid: jax.Array, bounds, width: int,
         tuple(bbox), valid, tuple(bounds), width, height, tile_w, tile_h,
         tuple(caps), max_span, big_cap,
         tuple(edge) if has_edges else (), tuple(anchor) if has_edges else (),
-        has_edges)
+        has_edges, pair_cap)
 
 
-@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
-                                   "bounds", "caps", "rec_caps", "chunk",
-                                   "max_span", "big_cap", "has_edges"))
-def _bin_buckets_packed_impl(bbox, valid: jax.Array, bounds, width: int,
-                             height: int, tile_w: int, tile_h: int,
-                             caps, rec_caps, chunk: int, max_span: int,
-                             big_cap: int, edge, anchor, has_edges: bool):
-    n_tris = bbox[0].shape[0]
-    sentinel = n_tris
-    (keys_s, tris_s, big, tri_ids, log2p, rows, cols, n_tiles,
-     big_exact_total) = _pair_sort(
-        tuple(bbox), valid, width, height, tile_w, tile_h, max_span,
-        edge=edge if has_edges else None, anchor=anchor, big_cap=big_cap)
-
+def _build_packed_plans(keys_s, log2p, bounds, caps, rec_caps, chunk,
+                        big, tri_ids, big_cap, big_exact_total, has_edges,
+                        sentinel, n_tiles, rows, cols):
+    """Per-bucket occupancy-packed plans from a SORTED key array.  Output
+    shapes depend only on the static caps — not on len(keys_s) — so the
+    compact-sort and full-sort paths can be lax.cond branches."""
+    tris_s = keys_s & ((1 << log2p) - 1)
     tile_range = jnp.arange(n_tiles, dtype=jnp.int32)
     out = []
     for (lo, hi), cap, rec_cap in zip(bounds, caps, rec_caps):
@@ -317,11 +357,52 @@ def _bin_buckets_packed_impl(bbox, valid: jax.Array, bounds, width: int,
     return tuple(out)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "tile_w", "tile_h",
+                                   "bounds", "caps", "rec_caps", "chunk",
+                                   "max_span", "big_cap", "has_edges",
+                                   "pair_cap"))
+def _bin_buckets_packed_impl(bbox, valid: jax.Array, bounds, width: int,
+                             height: int, tile_w: int, tile_h: int,
+                             caps, rec_caps, chunk: int, max_span: int,
+                             big_cap: int, edge, anchor, has_edges: bool,
+                             pair_cap: int):
+    n_tris = bbox[0].shape[0]
+    sentinel = n_tris
+    (keys, real, sentinel_key, big, tri_ids, log2p, rows, cols, n_tiles,
+     big_exact_total) = _emit_pairs(
+        tuple(bbox), valid, width, height, tile_w, tile_h, max_span,
+        edge=edge if has_edges else None, anchor=anchor, big_cap=big_cap)
+
+    def build(keys_sorted):
+        return _build_packed_plans(
+            keys_sorted, log2p, bounds, caps, rec_caps, chunk, big,
+            tri_ids, big_cap, big_exact_total, has_edges, sentinel,
+            n_tiles, rows, cols)
+
+    if pair_cap > 0 and pair_cap < keys.shape[0]:
+        # compact-before-sort with an EXACT fallback: if the real pairs
+        # exceed pair_cap, a lax.cond sorts the full emission instead —
+        # slower, never wrong.  The miss count is surfaced per bucket as
+        # ``pair_fallback`` (a cap-sizing signal, like fallback_px), NOT
+        # as overflow: no pair is ever dropped on either path.
+        compact, drop = _compact_keys(keys, real, sentinel_key, pair_cap)
+        out = jax.lax.cond(
+            drop == 0,
+            lambda ops: build(jax.lax.sort(ops[0])),
+            lambda ops: build(jax.lax.sort(ops[1])),
+            (compact, keys))
+        out = tuple({**p, "pair_fallback": drop} for p in out)
+    else:
+        out = build(jax.lax.sort(keys))
+        out = tuple({**p, "pair_fallback": jnp.int32(0)} for p in out)
+    return out
+
+
 def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
                        height: int, tile_w: int = 128, tile_h: int = 32,
                        caps=(2048,), rec_caps=(4096,), chunk: int = 64,
                        max_span: int = 16, big_cap: int = 512, edge=None,
-                       anchor=None):
+                       anchor=None, pair_cap: int = 0):
     """Occupancy-packed per-bucket raster work lists (the TPU-path form).
 
     Instead of a dense ``[n_tiles, cap]`` bin table (whose per-slot record
@@ -333,7 +414,10 @@ def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
     now tracks actual bin occupancy, with ``rec_cap`` a static safety cap
     (truncation is counted in ``overflow`` — never silent).  With
     ``edge``/``anchor``, big triangles are binned EXACTLY into only the
-    tiles they touch (see _big_exact_keys).
+    tiles they touch (see _big_exact_keys).  ``pair_cap`` > 0 sorts a
+    compacted real-pair list instead of the full emission, with a
+    lax.cond full-sort fallback when the cap misses — exact on every
+    path; misses are counted in ``pair_fallback``.
 
     Returns per bucket a dict:
       rec_tri   i32[rec_cap * chunk]  triangle id per slot (sentinel pad)
@@ -341,6 +425,7 @@ def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
       rec_start i32[n_tiles]          first record of each tile
       counts    i32[rows, cols]       per-tile candidate count (clamped)
       overflow  i32                   dropped candidates (cap + rec_cap)
+      pair_fallback i32               pair_cap misses (exact cond fallback)
     """
     if not isinstance(bbox, (tuple, list)):
         bbox = [bbox[:, c] for c in range(4)]
@@ -349,7 +434,7 @@ def bin_buckets_packed(bbox, valid: jax.Array, bounds, width: int,
         tuple(bbox), valid, tuple(bounds), width, height, tile_w, tile_h,
         tuple(caps), tuple(rec_caps), chunk, max_span, big_cap,
         tuple(edge) if has_edges else (), tuple(anchor) if has_edges else (),
-        has_edges)
+        has_edges, pair_cap)
 
 
 def bin_triangles(bbox, valid: jax.Array, width: int, height: int,

@@ -61,11 +61,15 @@ def rasterize_depth_auto(setup_padded: dict, bins: jax.Array, counts: jax.Array,
 def plan_view_buckets(st: dict, bounds, width: int, height: int,
                       tile_w: int, tile_h: int, caps, rec_caps,
                       chunk: int = 64, max_span: int = 16,
-                      big_cap: int = 512):
+                      big_cap: int = 512, pair_cap: int = 0):
     """Bin every bucket of a view with one pair sort; returns a tuple of
     per-bucket plan dicts (occupancy-packed records on TPU, dense bins on
     the XLA reference path).  ``rec_caps`` are static record-count safety
-    caps, auto-shrunk to the scene's worst-case pair count."""
+    caps, auto-shrunk to the scene's worst-case pair count.  ``pair_cap``
+    > 0 (TPU path only) sorts a compacted real-pair list instead of the
+    full T*max_span + big_cap*n_tiles emission (the sort costs its STATIC
+    length), with a lax.cond full-sort fallback when the cap misses —
+    exact on every path; misses land in each plan's ``pair_fallback``."""
     from . import binning
     from .common import on_tpu
     # triangle_setup's edge planes enable EXACT big-triangle binning
@@ -83,11 +87,15 @@ def plan_view_buckets(st: dict, bounds, width: int, height: int,
         return binning.bin_buckets_packed(
             st["bbox"], st["valid"], bounds, width, height, tile_w=tile_w,
             tile_h=tile_h, caps=caps, rec_caps=rec_caps, chunk=chunk,
-            max_span=max_span, big_cap=big_cap, edge=edge, anchor=anchor)
+            max_span=max_span, big_cap=big_cap, edge=edge, anchor=anchor,
+            pair_cap=pair_cap)
+    # XLA reference path: full-length sort always (perf is a TPU concern;
+    # the dense path must stay unconditionally exact with zero knobs)
     dense = binning.bin_triangles_buckets(
         st["bbox"], st["valid"], bounds, width, height, tile_w=tile_w,
         tile_h=tile_h, caps=caps, big_cap=big_cap, edge=edge, anchor=anchor)
-    return tuple({"bins": b, "counts": c, "overflow": o}
+    return tuple({"bins": b, "counts": c, "overflow": o,
+                  "pair_fallback": jnp.int32(0)}
                  for (b, c, o) in dense)
 
 
@@ -123,6 +131,40 @@ def rasterize_plan(plan: dict, setup_padded: dict, width: int, height: int,
                            tile_w=tile_w, tile_h=tile_h, chunk=chunk,
                            init_depth=init_depth, init_id=init_id,
                            counts=plan["counts"], floor_depth=floor_depth)
+
+
+def rasterize_plan_k(plan: dict, setup_padded: dict, width: int, height: int,
+                     sentinel: int, k_layers: int, bound: jax.Array,
+                     tile_w: int = 128, tile_h: int = 32, chunk: int = 16):
+    """The first ``k_layers`` strict depth-peel layers over a prepared
+    plan in ONE record pass (TPU k-buffer kernel) or ``k_layers``
+    iterated peels (XLA reference path) — bit-identical by construction:
+    layer k is the LESS_OR_EQUAL later-wins winner among fragments with
+    z strictly behind layer k-1 and z <= ``bound`` (the opaque depth).
+
+    Returns a list of (depth, id) pairs, nearest first; (2.0, -1) where
+    a layer is empty.  The masked/transparent passes consume peels+1
+    layers: the last one is the ``peel_overflow`` existence probe, so
+    the three rasterizations per bucket (peel 0, peel 1, probe) collapse
+    into one stream of the records."""
+    if "records" in plan:
+        from .raster_pallas import rasterize_layers_packed
+        return rasterize_layers_packed(
+            plan["records"], plan["rec_start"], plan["counts"], bound,
+            width, height, sentinel, k_layers, tile_w=tile_w, tile_h=tile_h)
+    layers = []
+    floor = None
+    no_id = jnp.full((height, width), -1, jnp.int32)
+    for _ in range(k_layers):
+        d, t = rasterize_depth(setup_padded, plan["bins"], width, height,
+                               tile_w=tile_w, tile_h=tile_h, chunk=chunk,
+                               init_depth=bound, init_id=no_id,
+                               counts=plan["counts"], floor_depth=floor)
+        found = t >= 0
+        ld = jnp.where(found, d, 2.0)
+        layers.append((ld, t))
+        floor = ld          # 2.0 where empty: no deeper layer there
+    return layers
 
 
 def pad_setup(setup: dict) -> dict:

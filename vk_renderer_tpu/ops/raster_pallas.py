@@ -144,6 +144,135 @@ def _kernel(counts_ref, start_ref, fdata_hbm, initd_ref, initi_ref,
         )
 
 
+def _kernel_k(counts_ref, start_ref, fdata_hbm, bound_ref, *out_refs,
+              chunk, tile_w, tile_h, k_layers, sentinel):
+    """K-layer depth-peel raster in ONE record pass (the k-buffer).
+
+    Maintains the ``k_layers`` nearest fragments per pixel with STRICTLY
+    increasing depths, reproducing iterated depth peeling exactly
+    (``z > floor`` strict re-peel + LESS_OR_EQUAL later-wins ties):
+    a fragment tying an existing layer's depth REPLACES it (later draw
+    wins) without shifting deeper layers (strict peeling would skip the
+    tied fragment); a strictly nearer fragment shifts the deeper stack
+    down one slot.  Sequential record order gives the submission-order
+    tie behavior for free, as in ``_kernel``.
+
+    Fragments are bounded above by ``bound_ref`` (z <= bound, LEQUAL vs
+    the opaque depth — the peel loops' ``init_depth``); layers start at
+    (2.0, sentinel) = empty.  Replaces peels+1 full raster passes (peel
+    0, peel 1, overflow probe) with one record stream."""
+    n_sub = tile_h // 8
+    t = pl.program_id(0)
+    count = counts_ref[t]
+    start = start_ref[t]
+    nk = (count + chunk - 1) // chunk
+
+    for k in range(k_layers):
+        out_refs[2 * k][:, :] = jnp.full((tile_h, tile_w), 2.0, jnp.float32)
+        out_refs[2 * k + 1][:, :] = jnp.full((tile_h, tile_w), sentinel,
+                                             jnp.int32)
+
+    @pl.when(nk > 0)
+    def _run():
+        def scoped(fbuf, fsem):
+            def fdma(k):
+                return pltpu.make_async_copy(fdata_hbm.at[start + k],
+                                             fbuf, fsem)
+
+            def rd(i):
+                return fbuf[i // 128, i % 128]
+
+            pxl = (jax.lax.broadcasted_iota(jnp.int32, (8, tile_w), 1)
+                   .astype(jnp.float32) + 0.5)
+            py0 = (jax.lax.broadcasted_iota(jnp.int32, (8, tile_w), 0)
+                   .astype(jnp.float32) + 0.5)
+            pyl = [py0 + (8.0 * sb) for sb in range(n_sub)]
+            mn = jnp.float32(_NEG_MIN_NORMAL)
+
+            def loop(k, carry):
+                d = fdma(k)
+                d.start()
+                d.wait()
+
+                for c in range(chunk):
+                    base = c * F_FIELDS
+                    a0 = rd(base + 0); b0 = rd(base + 1); k0 = rd(base + 2)
+                    a1 = rd(base + 3); b1 = rd(base + 4); k1 = rd(base + 5)
+                    a2 = rd(base + 6); b2 = rd(base + 7); k2 = rd(base + 8)
+                    za = rd(base + 9); zb = rd(base + 10); kz = rd(base + 11)
+                    tb = rd(base + 12)
+                    rr = rd(base + 13)
+
+                    trif = jnp.floor(tb * 0.125)
+                    bits = tb - 8.0 * trif
+                    tri = trif.astype(jnp.int32)
+                    hi2 = jnp.floor(bits * 0.25)
+                    rem = bits - 4.0 * hi2
+                    hi1 = jnp.floor(rem * 0.5)
+                    hi0 = rem - 2.0 * hi1
+                    th0 = jnp.where(hi0 > 0.5, mn, 0.0)
+                    th1 = jnp.where(hi1 > 0.5, mn, 0.0)
+                    th2 = jnp.where(hi2 > 0.5, mn, 0.0)
+
+                    r0 = jnp.floor(rr * (1.0 / 256.0))
+                    r1 = rr - 256.0 * r0
+
+                    for sb in range(n_sub):
+                        lo = float(8 * sb)
+
+                        @pl.when((r1 > lo) & (r0 < lo + 8.0))
+                        def _(sb=sb):
+                            py = pyl[sb]
+                            e0 = a0 * pxl + b0 * py + k0
+                            e1 = a1 * pxl + b1 * py + k1
+                            e2 = a2 * pxl + b2 * py + k2
+                            z = za * pxl + zb * py + kz
+                            rows_ = slice(8 * sb, 8 * sb + 8)
+                            cov = (e0 > th0) & (e1 > th1) & (e2 > th2)
+                            cov &= (e0 + e1 + e2) > 0.0
+                            cov &= z > mn                   # near clip
+                            cov &= z <= bound_ref[rows_, :]  # LEQUAL bound
+                            zc = jnp.where(cov, z, 2.0)
+
+                            ds = [out_refs[2 * j][rows_, :]
+                                  for j in range(k_layers)]
+                            is_ = [out_refs[2 * j + 1][rows_, :]
+                                   for j in range(k_layers)]
+                            # insertion position: first layer with
+                            # zc <= d[j]; tie REPLACES, strict SHIFTS
+                            taken = ~cov
+                            rep, strict = [], []
+                            for j in range(k_layers):
+                                rj = ~taken & (zc <= ds[j])
+                                rep.append(rj)
+                                strict.append(rj & (zc < ds[j]))
+                                taken = taken | rj
+                            pushed = jnp.zeros_like(cov)
+                            for j in range(k_layers):
+                                if j > 0:
+                                    pushed = pushed | strict[j - 1]
+                                    nd = jnp.where(pushed, ds[j - 1],
+                                                   jnp.where(rep[j], zc,
+                                                             ds[j]))
+                                    ni = jnp.where(pushed, is_[j - 1],
+                                                   jnp.where(rep[j], tri,
+                                                             is_[j]))
+                                else:
+                                    nd = jnp.where(rep[0], zc, ds[0])
+                                    ni = jnp.where(rep[0], tri, is_[0])
+                                out_refs[2 * j][rows_, :] = nd
+                                out_refs[2 * j + 1][rows_, :] = ni
+                return carry
+
+            jax.lax.fori_loop(0, nk, loop, 0)
+
+        pl.run_scoped(
+            scoped,
+            pltpu.SMEM(((chunk * F_FIELDS) // 128, 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        )
+
+
 def build_records(setup_padded: dict, bbox, rec_tri: jax.Array,
                   rec_tile: jax.Array, cols: int, tile_w: int, tile_h: int,
                   chunk: int = 64) -> jax.Array:
@@ -284,6 +413,62 @@ def rasterize_depth_packed(records: jax.Array, rec_start: jax.Array,
     tri_id = _from_tiles(outi.reshape(rows, cols, tile_h, tile_w))
     tri_id = jnp.where(tri_id == sentinel, -1, tri_id)
     return depth[:height, :width], tri_id[:height, :width]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "tile_w",
+                                             "tile_h", "chunk", "sentinel",
+                                             "k_layers"))
+def rasterize_layers_packed(records: jax.Array, rec_start: jax.Array,
+                            counts: jax.Array, bound: jax.Array, width: int,
+                            height: int, sentinel: int, k_layers: int,
+                            tile_w: int = 128, tile_h: int = 32,
+                            chunk: int = 64):
+    """K-layer peel raster over a packed record stream in ONE pass
+    (see _kernel_k).  ``bound`` f32[H, W]: fragments must satisfy
+    z <= bound (LEQUAL vs the opaque depth).  Returns a list of
+    ``k_layers`` (depth f32[H, W], tri_id i32[H, W]) pairs, nearest
+    first; depth 2.0 / id -1 where the layer is empty.  Layer k equals
+    the k-th iterated strict depth peel over the same records —
+    semantics proven equal in tests/test_raster_pallas.py +
+    tests/test_frame.py (k-raster A/B)."""
+    assert (chunk * F_FIELDS) % 1024 == 0, \
+        "chunk records must be whole (8,128) tiles (chunk multiple of 64)"
+    rows, cols = counts.shape
+    n_tiles = rows * cols
+    bound_t = _to_tiles(bound, rows, cols, tile_h, tile_w, 2.0)
+
+    tile_spec = pl.BlockSpec((None, tile_h, tile_w), lambda t, c, s: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), tile_spec],
+        out_specs=[tile_spec] * (2 * k_layers),
+    )
+    kernel = functools.partial(_kernel_k, chunk=chunk, tile_w=tile_w,
+                               tile_h=tile_h, k_layers=k_layers,
+                               sentinel=sentinel)
+    out_shapes = []
+    for _ in range(k_layers):
+        out_shapes.append(jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w),
+                                               jnp.float32))
+        out_shapes.append(jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w),
+                                               jnp.int32))
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )(counts.reshape(-1), rec_start, records, bound_t)
+
+    layers = []
+    for k in range(k_layers):
+        d = _from_tiles(outs[2 * k].reshape(rows, cols, tile_h, tile_w))
+        i = _from_tiles(outs[2 * k + 1].reshape(rows, cols, tile_h, tile_w))
+        i = jnp.where(i == sentinel, -1, i)
+        layers.append((d[:height, :width], i[:height, :width]))
+    return layers
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_w",

@@ -193,8 +193,59 @@ _CLASSIFY_EPS = 1e-5
 _CLASSIFY_PAD = 4.0    # texels: bilinear footprint (1.5) + fp slack
 
 
+def _window_minmax(table, cx, cy, hw, layer, map_size: int):
+    """Conservative min/max over the 2x2-cell window covering
+    [cx-hw, cx+hw] x [cy-hw, cy+hw] (texel-index space) of a min|max<<16
+    cell table (texture.build_shadow_coarse output — CoarseRows quad rows
+    or the plain [L, sb, sb] test form).  Returns
+    (mn, mx, fits, g0x, g0y, block): ``fits`` is False where the window
+    spans more than 2 cells per axis (the values are then meaningless and
+    the caller must leave the pixel uncertain)."""
+    from . import texture as _tex
+    quad = isinstance(table, _tex.CoarseRows)
+    sb = table.cells if quad else table.shape[-1]
+    n_layers = table.layers if quad else table.shape[0]
+    block = map_size // sb
+    layer = jnp.minimum(layer, n_layers - 1)
+    bx0 = jnp.floor((cx - hw) / block)
+    bx1 = jnp.floor((cx + hw) / block)
+    by0 = jnp.floor((cy - hw) / block)
+    by1 = jnp.floor((cy + hw) / block)
+    fits = (bx1 <= bx0 + 1) & (by1 <= by0 + 1)
+    g0x = jnp.clip(bx0, 0, sb - 1).astype(jnp.int32)
+    g0y = jnp.clip(by0, 0, sb - 1).astype(jnp.int32)
+    if quad:
+        # the full 2x2 cell window in ONE row-4 gather (clamped-edge
+        # neighbors are prebuilt — texture.make_coarse_rows)
+        r = table.rows[(layer * sb + g0y) * sb + g0x]
+        w00, w10, w01, w11 = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    else:
+        g1y = jnp.minimum(g0y + 1, sb - 1)
+        flat = table.reshape(-1)
+        base = layer * (sb * sb)
+        # x-adjacent cells ride take2 consecutive-pair fetches; the
+        # g0x == sb-1 border pair would cross into the next row, so clip
+        # it back to the edge cell (same value the quad form prebuilds)
+        from .gatherutil import take2
+        edge_x = g0x == sb - 1
+        w00, w10 = take2(flat, base + g0y * sb + g0x)
+        w10 = jnp.where(edge_x, w00, w10)
+        w01, w11 = take2(flat, base + g1y * sb + g0x)
+        w11 = jnp.where(edge_x, w01, w11)
+    inv_q = jnp.float32(1.0 / _tex.SHADOW_Q)
+    mn = jnp.minimum(jnp.minimum(w00 & 0xFFFF, w10 & 0xFFFF),
+                     jnp.minimum(w01 & 0xFFFF, w11 & 0xFFFF)
+                     ).astype(jnp.float32) * inv_q
+    mx = jnp.maximum(
+        jnp.maximum((w00 >> 16) & 0xFFFF, (w10 >> 16) & 0xFFFF),
+        jnp.maximum((w01 >> 16) & 0xFFFF, (w11 >> 16) & 0xFFFF)
+    ).astype(jnp.float32) * inv_q
+    return mn, mx, fits, g0x, g0y, block
+
+
 def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
-                     shadow_mode):
+                     shadow_mode, return_parts: bool = False,
+                     shadow_fine=None):
     """Conservative per-pixel classification against the coarse min/max
     map (texture.build_shadow_coarse).  Returns (lit_c, blk_c) where
     lit_c  => the mode's filter returns exactly 0.0 (fully lit)
@@ -214,13 +265,20 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
     the PCSS penumbra radius is bounded by the radius at the window min —
     checked to also fit the gathered region — so all 16 PCF taps are
     blockers too: factor is exactly 1.  If even the window min is not a
-    blocker, no tap of any mode contributes: factor is exactly 0."""
-    from . import texture as _tex
-    quad = isinstance(shadow_coarse, _tex.CoarseRows)
-    sb = shadow_coarse.cells if quad else shadow_coarse.shape[-1]
-    n_layers = shadow_coarse.layers if quad else shadow_coarse.shape[0]
-    block = map_size // sb           # texels per coarse cell (from shapes)
-    layer = jnp.minimum(layer, n_layers - 1)
+    blocker, no tap of any mode contributes: factor is exactly 0.
+
+    RECEIVER-IN-MAP second stage (``shadow_fine``, the finer min/max
+    table): the reference's CSM light matrix omits the Vulkan y-flip
+    (vk_engine_run.cpp:541 vs :488), so its FRONT culling keeps the
+    light-FACING faces — lit receivers are IN the cascade maps with
+    their own sloped depth gradient, and the window-min lit proof above
+    can never hold on them (measured: 100% of hard-lit pixels uncertain
+    at the bench camera).  The fix uses what the filter actually does:
+    any blocker found satisfies z >= window_min, which bounds the PCSS
+    penumbra radius; if the FINE window around the receiver (radius +
+    bilinear pad) has min >= sz - bias, then NO PCF tap passes the
+    compare and the factor is exactly 0 whether or not the blocker
+    search 'hit' the receiver's own surface."""
     s = jnp.float32(map_size)
     cx = su * s                      # window center, texel-index space
     cy = sv * s
@@ -237,44 +295,22 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
         hw_taps = jnp.maximum(jnp.abs(search_w) * s, 1.0)
     hw_lit = hw_taps + _CLASSIFY_PAD
 
-    bx0 = jnp.floor((cx - hw_lit) / block)
-    bx1 = jnp.floor((cx + hw_lit) / block)
-    by0 = jnp.floor((cy - hw_lit) / block)
-    by1 = jnp.floor((cy + hw_lit) / block)
-    fits = (bx1 <= bx0 + 1) & (by1 <= by0 + 1)
-
-    g0x = jnp.clip(bx0, 0, sb - 1).astype(jnp.int32)
-    g0y = jnp.clip(by0, 0, sb - 1).astype(jnp.int32)
-    if quad:
-        # the full 2x2 cell window in ONE row-4 gather (clamped-edge
-        # neighbors are prebuilt — texture.make_coarse_rows)
-        r = shadow_coarse.rows[(layer * sb + g0y) * sb + g0x]
-        w00, w10, w01, w11 = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
-    else:
-        g1y = jnp.minimum(g0y + 1, sb - 1)
-        flat = shadow_coarse.reshape(-1)
-        base = layer * (sb * sb)
-        # x-adjacent cells ride take2 consecutive-pair fetches; the
-        # g0x == sb-1 border pair would cross into the next row, so clip
-        # it back to the edge cell (same value the quad form prebuilds)
-        from .gatherutil import take2
-        edge_x = g0x == sb - 1
-        w00, w10 = take2(flat, base + g0y * sb + g0x)
-        w10 = jnp.where(edge_x, w00, w10)
-        w01, w11 = take2(flat, base + g1y * sb + g0x)
-        w11 = jnp.where(edge_x, w01, w11)
-    inv_q = jnp.float32(1.0 / _tex.SHADOW_Q)
-    mn_g = jnp.minimum(jnp.minimum(w00 & 0xFFFF, w10 & 0xFFFF),
-                       jnp.minimum(w01 & 0xFFFF, w11 & 0xFFFF)
-                       ).astype(jnp.float32) * inv_q
-    mx_g = jnp.maximum(
-        jnp.maximum((w00 >> 16) & 0xFFFF, (w10 >> 16) & 0xFFFF),
-        jnp.maximum((w01 >> 16) & 0xFFFF, (w11 >> 16) & 0xFFFF)
-    ).astype(jnp.float32) * inv_q
+    mn_g, mx_g, fits, g0x, g0y, block = _window_minmax(
+        shadow_coarse, cx, cy, hw_lit, layer, map_size)
+    sb = map_size // block
 
     def touches_border(hw):
         return ((cx - hw < 0.0) | (cx + hw > s - 1.0)
                 | (cy - hw < 0.0) | (cy + hw > s - 1.0))
+
+    def fine_lit(hw_f):
+        # factor == 0 iff no PCF-compare tap passes sz - bias > d: all
+        # taps lie within hw_f of the center, their bilinear values are
+        # >= the fine-window min (off-map taps are border 1.0, which
+        # never passes), so min >= sz - bias proves it
+        mn_f, _, fits_f, _, _, _ = _window_minmax(
+            shadow_fine, cx, cy, hw_f, layer, map_size)
+        return fits_f & ~(sz - SHADOW_BIAS > mn_f - _CLASSIFY_EPS)
 
     # certain-lit over the lit window (border texels are depth 1.0)
     mn_eff = jnp.where(touches_border(hw_lit), jnp.minimum(mn_g, 1.0), mn_g)
@@ -282,20 +318,45 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
     lit_c = fits & ~(mn_m + SHADOW_BIAS < sz) & ~(sz - SHADOW_BIAS > mn_m)
 
     if static_mode and shadow_mode < 2:
+        # Hard/PCF tap positions are FIXED (no data-dependent radius):
+        # the fine min over the tap window alone proves factor == 0
+        if shadow_fine is not None:
+            lit_c = lit_c | fine_lit(hw_lit)
         # Hard/PCF taps all lie in the lit window: blocked-certainty needs
         # no penumbra-radius bound
         mx_eff = jnp.where(touches_border(hw_lit), jnp.maximum(mx_g, 1.0),
                            mx_g)
         mx_m = mx_eff + _CLASSIFY_EPS
         blk_c = fits & (mx_m + SHADOW_BIAS < sz) & (sz - SHADOW_BIAS > mx_m)
+        if return_parts:
+            return lit_c, blk_c & ~lit_c, {
+                "fits": fits, "in_region": fits, "mn": mn_eff, "mx": mx_eff,
+                "lit_depth_ok": ~(mn_m + SHADOW_BIAS < sz),
+                "blk_depth_ok": (mx_m + SHADOW_BIAS < sz),
+                "hw_lit": hw_lit, "hw_blk": hw_lit,
+                "border_lit": touches_border(hw_lit)}
         return lit_c, blk_c & ~lit_c
+
+    # worst-case PCSS PCF radius: every blocker-search hit has
+    # z >= mn_eff (off-map taps are 1.0 and never hit), so the penumbra
+    # is bounded by the value at the smallest possible mean blocker depth
+    zb_min = jnp.maximum(mn_m, 1e-6)
+    penumbra_bound = (sz - zb_min) / zb_min
+    radius_bound = penumbra_bound * LIGHT_SIZE_UV * NEAR_PLANE / sz
+
+    if shadow_fine is not None:
+        # receiver-in-map lit proof: all PCF taps within the bounded
+        # radius (union'd with Hard/PCF's 1-texel reach for traced
+        # modes), min over that fine window >= sz - bias => factor 0.
+        # Valid only where the coarse window covered the blocker search
+        # (fits) — the radius bound relies on its min
+        hw_f = (jnp.maximum(jnp.abs(radius_bound) * s, 1.0)
+                + _CLASSIFY_PAD)
+        lit_c = lit_c | (fits & fine_lit(hw_f))
 
     # certain-blocked additionally needs the PCSS PCF disk: its radius at
     # the worst (smallest) possible blocker depth must fit the gathered
     # 2x2 region [g?x*B, (g?x+2)*B) x [g?y*B, (g?y+2)*B)
-    zb_min = jnp.maximum(mn_m, 1e-6)
-    penumbra_bound = (sz - zb_min) / zb_min
-    radius_bound = penumbra_bound * LIGHT_SIZE_UV * NEAR_PLANE / sz
     hw_blk = jnp.maximum(hw_lit, jnp.abs(radius_bound) * s + _CLASSIFY_PAD)
     bxl = jnp.floor((cx - hw_blk) / block)
     bxh = jnp.floor((cx + hw_blk) / block)
@@ -307,11 +368,20 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
     mx_m = mx_eff + _CLASSIFY_EPS
     blk_c = (fits & in_region
              & (mx_m + SHADOW_BIAS < sz) & (sz - SHADOW_BIAS > mx_m))
+    if return_parts:
+        return lit_c, blk_c & ~lit_c, {
+            "fits": fits, "in_region": in_region,
+            "mn": mn_eff, "mx": mx_eff,
+            "lit_depth_ok": ~(mn_m + SHADOW_BIAS < sz),
+            "blk_depth_ok": (mx_m + SHADOW_BIAS < sz),
+            "hw_lit": hw_lit, "hw_blk": hw_blk,
+            "border_lit": touches_border(hw_lit)}
     return lit_c, blk_c & ~lit_c
 
 
 def classified_shadow_factor(shadow_maps, shadow_coarse, gbuf, scene_data,
-                             shadow_mode, enable_shadows, n_dot_l, cap: int):
+                             shadow_mode, enable_shadows, n_dot_l, cap: int,
+                             shadow_fine=None):
     """Penumbra-classified sparse shadow factor — exact, at a fraction of
     the dense filter's gather cost.  Three tiers:
       1. classify every active pixel (covered, sun-facing, shadows on)
@@ -344,7 +414,7 @@ def classified_shadow_factor(shadow_maps, shadow_coarse, gbuf, scene_data,
         active = active & (jnp.asarray(enable_shadows) > 0.5)
     lit_c, blk_c = _classify_shadow(shadow_coarse, su, sv, sz, layer,
                                     tex.shadow_map_size(shadow_maps),
-                                    shadow_mode)
+                                    shadow_mode, shadow_fine=shadow_fine)
     uncertain = active & ~lit_c & ~blk_c
     base = jnp.where(active & blk_c, 1.0, 0.0)
     n = n_dot_l.size
@@ -533,9 +603,12 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
                                        enable_shadows)
         sp_ovf = None
     elif shadow_coarse is not None:
+        # shadow_coarse may be (coarse, fine) — the two-level classifier
+        coarse, fine = (shadow_coarse if isinstance(shadow_coarse, tuple)
+                        else (shadow_coarse, None))
         shadow, sp_ovf = classified_shadow_factor(
-            shadow_maps, shadow_coarse, gbuf, scene_data, shadow_mode,
-            enable_shadows, n_dot_l, shadow_sparse_cap)
+            shadow_maps, coarse, gbuf, scene_data, shadow_mode,
+            enable_shadows, n_dot_l, shadow_sparse_cap, shadow_fine=fine)
     else:
         shadow, sp_ovf = _sparse_shadow_factor(
             shadow_maps, gbuf, scene_data, shadow_mode, enable_shadows,
@@ -588,9 +661,11 @@ def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
                                        enable_shadows)
         sp_ovf = None
     elif shadow_coarse is not None:
+        coarse, fine = (shadow_coarse if isinstance(shadow_coarse, tuple)
+                        else (shadow_coarse, None))
         shadow, sp_ovf = classified_shadow_factor(
-            shadow_maps, shadow_coarse, gbuf, scene_data, shadow_mode,
-            enable_shadows, n_dot_l, shadow_sparse_cap)
+            shadow_maps, coarse, gbuf, scene_data, shadow_mode,
+            enable_shadows, n_dot_l, shadow_sparse_cap, shadow_fine=fine)
     else:
         shadow, sp_ovf = _sparse_shadow_factor(
             shadow_maps, gbuf, scene_data, shadow_mode, enable_shadows,

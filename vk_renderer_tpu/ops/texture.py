@@ -208,6 +208,16 @@ def coarse_block_for(size: int) -> int:
     return max(16, min(SHADOW_COARSE_BLOCK, size // 32))
 
 
+def fine_block_for(size: int) -> int:
+    """Cell size of the classifier's FINE min/max level (the stage-2
+    receiver-in-map lit proof, shade._classify_shadow): the PCF-disk
+    window it must cover is radius-bounded and typically a few texels
+    (slope-induced penumbrae), so cells 4x smaller than the coarse level
+    keep it within one 2x2 gather while quartering the block-granularity
+    dilation."""
+    return max(4, coarse_block_for(size) // 4)
+
+
 def build_shadow_coarse(packed: jax.Array,
                         block: int | None = None) -> jax.Array:
     """Pair-packed maps i32[L, S, S] -> coarse i32[L, S/B, S/B] where each

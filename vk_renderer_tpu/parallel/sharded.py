@@ -93,25 +93,28 @@ def _sharded_step(cfg: FrameConfig, devices: tuple):
             world_pos, _ = rsetup.transform_vertices(
                 scene.positions, scene.vert_obj, scene.obj_world,
                 sd["viewproj"])
-            strips = framelib.render_shadow_maps(
+            strips, shadow_ovf, shadow_fb = framelib.render_shadow_maps(
                 scene, world_pos, tri_visible, lvp, cfg_slice, out_h=shadow_h)
             shadow_packed = jax.lax.all_gather(strips, "fb", axis=1,
                                                tiled=True)
             from ..ops import texture as _tex
-            shadow_coarse = (_tex.make_coarse_rows(
-                _tex.build_shadow_coarse(shadow_packed))
-                if cfg.shadow_classify_cap != 0 else None)
+            shadow_coarse = framelib._build_classifier_tables(
+                shadow_packed, cfg)
             shadow_maps = _tex.make_shadow_rows(shadow_packed)
         else:
             from ..ops import texture as _tex
             shadow_maps = _tex.pack_shadow_maps(
                 jnp.ones((NUM_CASCADES, 1, 1), jnp.float32))
             shadow_coarse = None
+            shadow_ovf = jnp.int32(0)
+            shadow_fb = jnp.int32(0)
 
         out = framelib.render_view(scene, sd_slice, st, cfg_slice,
                                    shadow_maps, y_offset=y0,
                                    full_height=cfg.height,
-                                   shadow_coarse=shadow_coarse)
+                                   shadow_coarse=shadow_coarse,
+                                   extra_bin_overflow=shadow_ovf,
+                                   extra_fallback=shadow_fb)
         stats = {k: jax.lax.psum(v, "fb") for k, v in out["stats"].items()}
         return {"color": out["color"], "depth": out["depth"], "stats": stats,
                 "stats_vec": jax.lax.psum(out["stats_vec"], "fb"),
