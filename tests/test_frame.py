@@ -334,6 +334,32 @@ class TestPackedRows:
         np.testing.assert_allclose(c_ref, c_out, atol=1e-6)
 
 
+class TestFusedMatMetaAB:
+    def test_fused_mat_meta_bit_identical(self):
+        """cfg.fused_mat_meta folds the material scalars (bitcast f32)
+        and both textures' packed meta/base descriptors into ONE [M, 16]
+        i32 row (shade.shade_pbr) — the full frame must be BIT-identical
+        to the [M, 8] material row + per-pixel meta-gather path."""
+        scene = procedural.build_sponza_like(
+            target_tris=30_000).build().device_put()
+        cam = Camera(position=np.array([9.0, 1.8, 0.3], np.float32))
+        cam.yaw = np.pi / 2
+        s = RenderSettings(enable_shadows=True, shadow_mode=3,
+                           enable_postprocess=True)
+        kw = dict(enable_shadows=True, cap_opaque=16384, cap_masked=512,
+                  cap_transparent=256, raster_chunk=64, shadow_cap=16384,
+                  shadow_size=512)
+        out_f = driver.render(scene, cam, s,
+                              small_cfg(fused_mat_meta=True, **kw))
+        out_p = driver.render(scene, cam, s,
+                              small_cfg(fused_mat_meta=False, **kw))
+        np.testing.assert_array_equal(np.asarray(out_f["color_u8"]),
+                                      np.asarray(out_p["color_u8"]))
+        np.testing.assert_array_equal(np.asarray(out_f["stats_vec"]),
+                                      np.asarray(out_p["stats_vec"]))
+        assert int(out_f["stats"]["triangles"]) > 0
+
+
 class TestKRasterAB:
     def test_k_raster_bit_identical(self):
         """k-buffer peel layers (one raster pass, cfg.k_raster=True) vs the

@@ -136,6 +136,35 @@ class TestTextureHeap:
         # quad corner 2 at y == h-1 wraps to row 0
         assert quad[off + (h - 1) * w, 2] == quad[off, 0]
 
+    def test_desc_from_meta_matches_tables(self):
+        # the trilinear path DERIVES mip descriptors arithmetically
+        # (texture._desc_from_meta) instead of gathering mip_offsets/
+        # mip_sizes — must reproduce the build's tables exactly for
+        # every level, including non-square and non-power-of-two sizes
+        # (odd sizes exercise the max(x >> m, 1) == iterated-halving
+        # identity) and 1x1 solids
+        import jax.numpy as jnp
+
+        from vk_renderer_tpu.ops.texture import _desc_from_meta
+
+        b = textures.TextureHeapBuilder()
+        idxs = []
+        for (w, h) in [(64, 32), (5, 3), (1, 1), (37, 128), (256, 7)]:
+            idxs.append(b.add(np.zeros((h, w, 4), np.uint8), srgb=False,
+                              mipmapped=True))
+        idxs.append(b.add_solid((1.0, 0.0, 0.0, 1.0)))
+        t = b.build()
+        for i in idxs:
+            n = int(t.n_mips[i])
+            base = jnp.int32(t.mip_offsets[i, 0])
+            w0 = jnp.int32(t.mip_sizes[i, 0, 0])
+            h0 = jnp.int32(t.mip_sizes[i, 0, 1])
+            for lvl in range(n):
+                off, w, h = _desc_from_meta(base, w0, h0, jnp.int32(lvl))
+                assert int(off) == int(t.mip_offsets[i, lvl]), (i, lvl)
+                assert int(w) == int(t.mip_sizes[i, lvl, 0]), (i, lvl)
+                assert int(h) == int(t.mip_sizes[i, lvl, 1]), (i, lvl)
+
     def test_min_alpha_classification(self):
         b = textures.TextureHeapBuilder()
         solid = b.add(np.full((8, 8, 4), 255, np.uint8), srgb=True, mipmapped=True)

@@ -33,6 +33,7 @@ VARIANTS = [
     ("pair4/tri", {"pair_cap": 260_000 * 4 + 65_536,
                    "shadow_pair_cap": 260_000 * 4 + 65_536}),
     ("packed_rows", {"packed_rows": True}),
+    ("fused_meta", {"fused_mat_meta": True}),
     ("mr_trilinear", {"mr_nearest_mip": False}),
     ("max_span8", {"max_span": 8, "big_cap": 2048}),
     ("packed+span8", {"packed_rows": True, "max_span": 8, "big_cap": 2048}),

@@ -149,6 +149,13 @@ class FrameConfig:
     # gathers.  Default OFF = exact; tests gate the ON path vs goldens
     # at >= 40 dB (VERDICT r2 task 3)
     mr_nearest_mip: bool = False
+    # fused material+texture-meta row: ONE [M, 16] i32 row-gather carries
+    # the material scalars AND both textures' meta/base descriptors
+    # (shade.shade_pbr fused_mat_meta) — replaces 3 per-pixel gathers
+    # with 1 IF a 16-wide row is as cheap as an 8-wide one (measured
+    # question: tools/bench_rowgather.py / tools/sweep_variants.py).
+    # Bit-identical output; ignored on the packed_rows path
+    fused_mat_meta: bool = False
     # k-buffer raster (EXACT): the masked/transparent buckets' peels+1
     # rasterizations (peel 0, peel 1, overflow probe) collapse into ONE
     # pass over the records that keeps the peels+1 nearest strictly-
@@ -624,7 +631,8 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                                     shadow_mode_t, enable_shadows_t,
                                     shadow_sparse_cap=classify_cap,
                                     shadow_coarse=shadow_coarse,
-                                    mr_nearest_mip=cfg.mr_nearest_mip)
+                                    mr_nearest_mip=cfg.mr_nearest_mip,
+                                    fused_mat_meta=cfg.fused_mat_meta)
         # classified path is exact (dense lax.cond fallback beyond cap);
         # the count is a cap-sizing signal, not a deviation
         fallback_px = fallback_px + sp_sh
@@ -632,12 +640,14 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
         rgb, _alpha, sp_sh = shader(gbuf, scene, scene_data, shadow_maps,
                                     shadow_mode_t, enable_shadows_t,
                                     shadow_sparse_cap=cfg.shadow_sparse_cap,
-                                    mr_nearest_mip=cfg.mr_nearest_mip)
+                                    mr_nearest_mip=cfg.mr_nearest_mip,
+                                    fused_mat_meta=cfg.fused_mat_meta)
         sparse_overflow = sparse_overflow + sp_sh
     else:
         rgb, _alpha = shader(gbuf, scene, scene_data, shadow_maps,
                              shadow_mode_t, enable_shadows_t,
-                             mr_nearest_mip=cfg.mr_nearest_mip)
+                             mr_nearest_mip=cfg.mr_nearest_mip,
+                             fused_mat_meta=cfg.fused_mat_meta)
 
     # ---- compose onto background (clear (0,0,0) or gradient;
     #      vk_engine_run.cpp:246-248)
@@ -848,7 +858,8 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
              if cfg.enable_shadows else False),
             shadow_sparse_cap=cap,      # the compact list can be fully active
             shadow_coarse=shadow_coarse,
-            mr_nearest_mip=cfg.mr_nearest_mip)
+            mr_nearest_mip=cfg.mr_nearest_mip,
+            fused_mat_meta=cfg.fused_mat_meta)
         contrib = (tid_s >= 0) & (alpha >= 0.5)         # discard still applies
         # additive blend via scatter-add; pad slots (sel == -1) are routed
         # out of bounds POSITIVELY (w*h) so mode="drop" discards them

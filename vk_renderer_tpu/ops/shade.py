@@ -505,13 +505,21 @@ def _sparse_shadow_factor(shadow_maps, gbuf, scene_data, shadow_mode,
 def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
               shadow_mode: int, enable_shadows: bool,
               shadow_sparse_cap: int | None = None,
-              shadow_coarse=None, mr_nearest_mip: bool = False):
+              shadow_coarse=None, mr_nearest_mip: bool = False,
+              fused_mat_meta: bool = False):
     """mesh_pbr.frag main (185-226) over the planar G-buffer.
     Returns ((r, g, b), albedo_alpha), all planar [H, W] — plus a
     shadow-compaction overflow scalar when ``shadow_sparse_cap`` is set
     (see _sparse_shadow_factor; with ``shadow_coarse`` also given, the
     penumbra-classified path — classified_shadow_factor — runs instead,
-    compacting only the provably-uncertain band)."""
+    compacting only the provably-uncertain band).
+
+    ``fused_mat_meta``: ONE [M, 16] i32 row-gather carries the material
+    scalars (bitcast f32) AND both textures' meta+base descriptors
+    (texture.packed_meta_cols) — replaces the [M, 8] material row plus
+    the two per-pixel [T, 5] meta gathers, IF a 16-wide row costs like
+    an 8-wide one (measured question, tools/bench_rowgather.py).
+    Bit-identical output (tests/test_frame.py A/B)."""
     nx, ny, nz = _normalize3(gbuf["nx"], gbuf["ny"], gbuf["nz"])
     cam = scene_data["cam_pos"]
     vx, vy, vz = _normalize3(cam[0] - gbuf["wx"], cam[1] - gbuf["wy"],
@@ -522,6 +530,7 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
     lx, ly, lz = -sun[0] * inv_sun, -sun[1] * inv_sun, -sun[2] * inv_sun
     hx, hy, hz = _normalize3(vx + lx, vy + ly, vz + lz)
 
+    meta_a = meta_m = None
     if "m_albedo_id" in gbuf:
         # packed-row G-buffer (interp.build_packed_rows): the material
         # scalars rode the per-triangle row — no per-pixel material gather
@@ -529,6 +538,28 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
         mr_id = gbuf["m_mr_id"].astype(jnp.int32)
         cf_r, cf_g, cf_b = gbuf["m_cf_r"], gbuf["m_cf_g"], gbuf["m_cf_b"]
         metal_f, rough_f = gbuf["m_metal_f"], gbuf["m_rough_f"]
+    elif fused_mat_meta:
+        mat_id = gbuf["mat_id"]
+        base_t, pack_t = tex.packed_meta_cols(scene.textures)
+        aid = scene.mat_tex_ids[:, 0]
+        mid = scene.mat_tex_ids[:, 2]
+        f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        zero = jnp.zeros_like(aid)
+        mrow = jnp.stack(
+            [base_t[aid], pack_t[aid], base_t[mid], pack_t[mid],
+             f2i(scene.mat_color_factors[:, 0]),
+             f2i(scene.mat_color_factors[:, 1]),
+             f2i(scene.mat_color_factors[:, 2]),
+             f2i(scene.mat_metal_rough[:, 0]),
+             f2i(scene.mat_metal_rough[:, 1]),
+             zero, zero, zero, zero, zero, zero, zero], axis=-1)[mat_id]
+        meta_a = tex.unpack_meta(mrow[..., 0], mrow[..., 1])
+        meta_m = tex.unpack_meta(mrow[..., 2], mrow[..., 3])
+        i2f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
+        cf_r, cf_g, cf_b = (i2f(mrow[..., 4]), i2f(mrow[..., 5]),
+                            i2f(mrow[..., 6]))
+        metal_f, rough_f = i2f(mrow[..., 7]), i2f(mrow[..., 8])
+        albedo_id = mr_id = None   # meta carries the descriptors
     else:
         mat_id = gbuf["mat_id"]
         # ONE [M, 8] row-gather replaces 7 per-pixel column takes (ids are
@@ -548,7 +579,8 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
 
     at_r, at_g, at_b, at_a = tex.sample_trilinear(
         scene.textures, albedo_id, gbuf["u"], gbuf["v"],
-        gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"])
+        gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"],
+        meta=meta_a)
     alb_r = cf_r * at_r * gbuf["cr"]
     alb_g = cf_g * at_g * gbuf["cg"]
     alb_b = cf_b * at_b * gbuf["cb"]
@@ -559,7 +591,7 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
     mr_g, mr_b = tex.sample_trilinear(
         scene.textures, mr_id, gbuf["u"], gbuf["v"],
         gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"],
-        channels=(1, 2), nearest_mip=mr_nearest_mip)
+        channels=(1, 2), nearest_mip=mr_nearest_mip, meta=meta_m)
     metallic = metal_f * mr_b
     roughness = rough_f * mr_g
 
@@ -625,10 +657,12 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
 def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
                shadow_mode: int, enable_shadows: bool,
                shadow_sparse_cap: int | None = None,
-               shadow_coarse=None, mr_nearest_mip: bool = False):
+               shadow_coarse=None, mr_nearest_mip: bool = False,
+               fused_mat_meta: bool = False):
     """mesh.frag main (124-182): Lambert + ambient with the same shadow
     library and alpha handling."""
     del mr_nearest_mip   # no metallic-roughness texture in the flat path
+    del fused_mat_meta   # one texture; the fused row targets the PBR path
     if "m_albedo_id" in gbuf:
         albedo_id = gbuf["m_albedo_id"].astype(jnp.int32)
         cf_r, cf_g, cf_b = gbuf["m_cf_r"], gbuf["m_cf_g"], gbuf["m_cf_b"]

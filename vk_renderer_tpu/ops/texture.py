@@ -25,6 +25,9 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..scene.types import MAX_MIPS
+
+
 def _desc_take(offsets, sizes, tex_id, level):
     """Per-(texture,mip) descriptor lookup as ONE [T*M, 4] row-gather
     instead of three flat takes (row gathers cost per INDEX, not per
@@ -95,14 +98,44 @@ def _bilinear_level(texels, offsets, sizes, tex_id, u, v, level, srgb,
 
 
 def _meta_take(textures, tex_id):
-    """Per-texture (w0, h0, max_level, srgb) as ONE [T, 4] row-gather
-    (was four flat takes per sample)."""
+    """Per-texture (w0, h0, max_level, srgb, w0i, h0i, base_off) as ONE
+    [T, 5] row-gather (was four flat takes per sample).  base_off is the
+    texture's level-0 heap offset: together with (w0i, h0i) it makes
+    every mip descriptor DERIVABLE arithmetically (_desc_from_meta), so
+    the per-pixel [T*M, 4] descriptor gather disappears from the
+    trilinear path.  Offsets stay i32 in the row (f32 would round past
+    2^24)."""
     rows = jnp.stack(
         [textures.mip_sizes[:, 0, 0], textures.mip_sizes[:, 0, 1],
-         textures.n_mips - 1, textures.srgb_flags], axis=-1)
+         textures.n_mips - 1, textures.srgb_flags,
+         textures.mip_offsets[:, 0]], axis=-1)
     r = rows[tex_id]
     return (r[..., 0].astype(jnp.float32), r[..., 1].astype(jnp.float32),
-            r[..., 2].astype(jnp.float32), r[..., 3] > 0)
+            r[..., 2].astype(jnp.float32), r[..., 3] > 0,
+            r[..., 0], r[..., 1], r[..., 4])
+
+
+def _desc_from_meta(base, w0i, h0i, level):
+    """Mip descriptor (offset, w, h) computed from the level-0 descriptor
+    instead of gathered: the heap build lays mips contiguously
+    (scene/textures.py build: ``cursor += w*h`` per level) with sizes
+    ``max(x >> m, 1)`` (iterated floor-halving == right shift), so
+
+        off(l) = base + sum_{m<l} max(w0>>m,1) * max(h0>>m,1)
+
+    exactly.  The unrolled where-sum is ~90 elementwise int ops per
+    pixel — ~free next to the [T*M, 4] row-gather it replaces (see the
+    gather cost table).  ``level`` must already be clipped to
+    max_level (n_mips-1), which _lod_from_meta guarantees, so the
+    build's clamp-extended slots are never addressed."""
+    acc = jnp.zeros_like(base)
+    for m in range(MAX_MIPS - 1):
+        wm = jnp.maximum(w0i >> m, 1)
+        hm = jnp.maximum(h0i >> m, 1)
+        acc = acc + jnp.where(level > m, wm * hm, 0)
+    w = jnp.maximum(w0i >> level, 1)
+    h = jnp.maximum(h0i >> level, 1)
+    return base + acc, w, h
 
 
 def _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy):
@@ -117,33 +150,38 @@ def _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy):
 def compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy):
     """Vulkan isotropic LOD from planar UV derivatives (oracle/test entry;
     the sampling path uses _meta_take + _lod_from_meta)."""
-    w0, h0, max_level, _ = _meta_take(textures, tex_id)
+    w0, h0, max_level = _meta_take(textures, tex_id)[:3]
     return _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy), \
         max_level
 
 
 def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
-                     channels=(0, 1, 2, 3), nearest_mip: bool = False):
+                     channels=(0, 1, 2, 3), nearest_mip: bool = False,
+                     meta=None):
     """Full trilinear sample.  All per-pixel args planar [H, W].
     Returns a tuple of [H, W] planes for the requested channels.
 
     ``nearest_mip=True`` is the gated fidelity knob (VERDICT r2 task 3):
     ONE bilinear sample at the rounded mip level instead of two blended
     levels — half the texel gathers.  Off by default (exact trilinear);
-    enable only for low-frequency content behind a goldens gate."""
-    w0, h0, max_level, srgb = _meta_take(textures, tex_id)
+    enable only for low-frequency content behind a goldens gate.
+
+    ``meta``: the _meta_take 7-tuple when the caller already has it (the
+    fused material+meta row, shade.shade_pbr) — skips the per-pixel
+    [T, 5] meta row-gather; ``tex_id`` is then unused."""
+    w0, h0, max_level, srgb, w0b, h0b, base = (
+        meta if meta is not None else _meta_take(textures, tex_id))
     lam = _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy)
     if nearest_mip:
         l0 = jnp.round(lam).astype(jnp.int32)
-        return _bilinear_level(textures.texels, textures.mip_offsets,
-                               textures.mip_sizes, tex_id, u, v, l0, srgb,
-                               channels)
+        off, wi, hi = _desc_from_meta(base, w0b, h0b, l0)
+        return _bilinear_at(textures.texels, off, wi, hi, u, v, srgb,
+                            channels)
     l0 = jnp.floor(lam).astype(jnp.int32)
     l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
     frac = lam - l0.astype(jnp.float32)
 
-    off0, w0i, h0i = _desc_take(textures.mip_offsets, textures.mip_sizes,
-                                tex_id, l0)
+    off0, w0i, h0i = _desc_from_meta(base, w0b, h0b, l0)
     c0 = _bilinear_at(textures.texels, off0, w0i, h0i, u, v, srgb, channels)
     # level l0+1's descriptor follows ARITHMETICALLY from l0's: mips are
     # contiguous (scene/textures.py build: cursor += w*h per level) and
@@ -156,6 +194,30 @@ def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
     h1i = jnp.where(deeper, jnp.maximum(h0i >> 1, 1), h0i)
     c1 = _bilinear_at(textures.texels, off1, w1i, h1i, u, v, srgb, channels)
     return tuple(a + (b - a) * frac for a, b in zip(c0, c1))
+
+
+def packed_meta_cols(textures):
+    """Per-texture (base_off, packed_meta) i32 columns for fusing texture
+    meta into wider material rows (shade_pbr's fused_mat_meta path):
+    ``packed_meta = w0 | h0 << 13 | max_level << 26 | srgb << 30``
+    (w0, h0 <= 8191; max_level <= 15 — MAX_MIPS is 13).  Trace-time
+    elementwise over the texture table, ~free."""
+    w0 = textures.mip_sizes[:, 0, 0]
+    h0 = textures.mip_sizes[:, 0, 1]
+    pack = (w0 | (h0 << 13) | ((textures.n_mips - 1) << 26)
+            | (textures.srgb_flags << 30))
+    return textures.mip_offsets[:, 0], pack
+
+
+def unpack_meta(base, pack):
+    """Inverse of packed_meta_cols: the _meta_take 7-tuple from the fused
+    row's two i32 columns (pure elementwise bit ops)."""
+    w0i = pack & 0x1FFF
+    h0i = (pack >> 13) & 0x1FFF
+    lvl = (pack >> 26) & 0xF
+    srgb = ((pack >> 30) & 1) > 0
+    return (w0i.astype(jnp.float32), h0i.astype(jnp.float32),
+            lvl.astype(jnp.float32), srgb, w0i, h0i, base)
 
 
 def sample_bilinear_lod0(textures, tex_id, u, v, channels=(0, 1, 2, 3)):
