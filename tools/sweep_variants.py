@@ -39,6 +39,10 @@ VARIANTS = [
     ("packed+span8", {"packed_rows": True, "max_span": 8, "big_cap": 2048}),
     # per-cascade shadow sorts: static keys = T*span + big_cap*1024 tiles
     ("shadow_span8", {"shadow_max_span": 8, "shadow_big_cap": 512}),
+    # measured per-cascade chunk needs at the bench camera are
+    # 4116/3732/3551/1456 (tools/measure_sparse.py) — 4352 keeps ~6%
+    # headroom over the worst cascade vs the 5120 default
+    ("rec_shadow4352", {"rec_shadow": 4352}),
     ("shadow_span4", {"shadow_max_span": 4, "shadow_big_cap": 1024}),
     # classified-filter uncertain band measured 0.8% (~17k px) at the
     # bench camera; compact-list cost is CAP-proportional (auto = 130k)
