@@ -65,13 +65,12 @@ def main():
     # reference trilinears MR only as a side effect of one shared sampler
     # (vk_loader.cpp:320).  VERDICT r2 task 3 sanctions benching it ON.
     import dataclasses as _dc
-    # shadow_classify_cap: the uncertain penumbra band measures ~17k px at
-    # the bench camera (tools/measure_sparse.py); compact-list gather cost
-    # is CAP-proportional, so the 49k explicit cap (3x headroom) beats the
-    # 130k auto cap.  Exact either way: beyond the cap a lax.cond runs the
-    # dense filter (fallback_px counts it; never a deviation).
+    # shadow_classify_cap: auto (w*h/8).  The post-floor-fix uncertain
+    # band at the bench camera is boundary strips + foliage receivers
+    # (tools/measure_sparse.py); beyond the cap a lax.cond runs the dense
+    # filter (fallback_px counts it; never a deviation).
     cfg = _dc.replace(driver.config_from_settings(settings, width, height),
-                      mr_nearest_mip=True, shadow_classify_cap=49152)
+                      mr_nearest_mip=True)
     cam = Camera(position=np.array([9.0, 1.8, 0.3], np.float32))
     cam.yaw = np.pi / 2  # look down the long axis
 

@@ -285,25 +285,28 @@ class TestClassifiedShadow:
         n_dot_l = jnp.ones((h, w), jnp.float32)
         return packed, coarse, sd, gbuf, n_dot_l
 
-    def _check_mode(self, seed, structured, mode, traced=False, fine=False):
+    def _check_mode(self, seed, structured, mode, traced=False, quad=False,
+                    rows_form=False, fine=False):
         packed, coarse, sd, gbuf, n_dot_l = self._setup(seed, structured)
-        # block 8: Hard/PCF windows (hw 4-5) fit its 2x2 cells only when
-        # favorably aligned, so both the proven and unfit fine paths run
+        # block 4 on the 256 test map = the production fine ratio
+        # (fine_block_for: coarse/4); both the proven and unfit fine
+        # paths run on the noisy band
         fine_tbl = (tex.make_coarse_rows(
-            tex.build_shadow_coarse(packed, block=8)) if fine else None)
+            tex.build_shadow_coarse(packed, block=4)) if fine else None)
         mode_arg = jnp.float32(mode) if traced else mode
         en_arg = jnp.float32(1.0) if traced else True
         want = shade.compute_shadow_factor(
             packed, gbuf["wx"], gbuf["wy"], gbuf["wz"], gbuf["view_z"],
             sd, mode_arg, en_arg)
+        maps = tex.make_shadow_rows(packed) if rows_form else packed
         got, ovf = shade.classified_shadow_factor(
-            packed, coarse, gbuf, sd, mode_arg, en_arg, n_dot_l,
-            cap=n_dot_l.size, shadow_fine=fine_tbl)
+            maps, coarse, gbuf, sd, mode_arg, en_arg, n_dot_l,
+            cap=n_dot_l.size, quad_lit=quad, shadow_fine=fine_tbl)
         assert int(ovf) == 0
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg=f"mode {mode} traced={traced} "
                                               f"structured={structured} "
-                                              f"fine={fine}")
+                                              f"quad={quad} fine={fine}")
 
     def test_exact_vs_dense_all_modes_structured(self):
         for mode in range(4):
@@ -318,34 +321,100 @@ class TestClassifiedShadow:
             self._check_mode(30 + mode, structured=True, mode=mode,
                              traced=True)
 
-    def test_exact_vs_dense_with_fine_table(self):
-        """The two-level (coarse, fine) classifier must stay EXACT — the
-        fine lit proof (shade._classify_shadow receiver-in-map stage) can
-        only ever move pixels from uncertain to certain-lit when the
-        filter provably returns 0."""
+    def test_exact_vs_dense_with_quad_proof(self):
+        """The two-stage (coarse + receiver-quad) classifier must stay
+        EXACT — the quad lit proof (shade._classify_shadow) can only ever
+        move pixels from uncertain to certain-lit when the filter provably
+        returns 0."""
         for mode in range(4):
             self._check_mode(40 + mode, structured=True, mode=mode,
-                             fine=True)
+                             quad=True)
             self._check_mode(50 + mode, structured=False, mode=mode,
-                             fine=True)
+                             quad=True)
 
-    def test_exact_vs_dense_with_fine_traced(self):
+    def test_exact_vs_dense_with_quad_traced(self):
         for mode in range(4):
             self._check_mode(60 + mode, structured=True, mode=mode,
-                             traced=True, fine=True)
+                             traced=True, quad=True)
 
-    def test_fine_proves_receiver_in_map_lit(self):
+    def test_exact_vs_dense_quad_rows_form(self):
+        """Quad proof over the ShadowRows form (the frame path's one
+        row-8 gather) — same exactness."""
+        for mode in range(4):
+            self._check_mode(70 + mode, structured=True, mode=mode,
+                             quad=True, rows_form=True)
+
+    def test_exact_vs_dense_all_stages(self):
+        """The full production classifier (coarse + quad + fine) must
+        stay EXACT for every mode, static and traced."""
+        for mode in range(4):
+            self._check_mode(80 + mode, structured=True, mode=mode,
+                             quad=True, fine=True)
+            self._check_mode(90 + mode, structured=False, mode=mode,
+                             quad=True, fine=True)
+            self._check_mode(100 + mode, structured=True, mode=mode,
+                             traced=True, quad=True, fine=True,
+                             rows_form=True)
+
+    def test_fine_proves_boundary_blocked(self):
+        """The fine table's raison d'etre: deep-shadow pixels within two
+        COARSE cells of a shadow boundary are unprovable from the coarse
+        min/max (the boundary dilates into the whole 2x2-cell window),
+        but the fine window over the tap footprint proves them blocked."""
+        size = 256
+        smap = np.full((4, size, size), 0.9, np.float32)   # far floor
+        smap[:, :, : size // 2] = 0.2                      # occluder half
+        packed = _pack(smap)
+        coarse = tex.make_coarse_rows(tex.build_shadow_coarse(packed,
+                                                              block=64))
+        fine = tex.make_coarse_rows(tex.build_shadow_coarse(packed,
+                                                            block=16))
+        h, w = 8, 32
+        rng = np.random.default_rng(6)
+        # receivers at depth 0.5 behind the occluder (factor 1), spread
+        # over x in the occluder half INCLUDING the strip within 2 coarse
+        # cells of the boundary at x = 128 (where coarse mx sees 0.9)
+        wx = rng.uniform(-0.9, -0.2, (h, w)).astype(np.float32)  # su .05-.4
+        wy = rng.uniform(-0.9, 0.9, (h, w)).astype(np.float32)
+        wz = np.full((h, w), 0.5, np.float32)
+        sd = {"cascade_distances": jnp.asarray([2.0, 8.0, 22.0, 100.0],
+                                               jnp.float32),
+              "light_viewproj": jnp.asarray(
+                  np.stack([np.eye(4, dtype=np.float32)] * 4))}
+        view_z = rng.uniform(0.5, 80, (h, w)).astype(np.float32)
+        su, sv, sz, layer = shade.shadow_coords(
+            jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(wz),
+            jnp.asarray(view_z), sd, 3)
+        _, blk_co = shade._classify_shadow(coarse, su, sv, sz, layer,
+                                           size, 3)
+        _, blk_3s = shade._classify_shadow(coarse, su, sv, sz, layer,
+                                           size, 3, shadow_rows=packed,
+                                           shadow_fine=fine)
+        frac_co = float(jnp.mean(blk_co.astype(jnp.float32)))
+        frac_3s = float(jnp.mean(blk_3s.astype(jnp.float32)))
+        assert frac_3s > frac_co + 0.1, (frac_co, frac_3s)
+        assert frac_3s > 0.9, f"fine stage failed to prove blocked: {frac_3s}"
+        # the claim must be TRUE: dense CSM factor is 1 on proven pixels
+        dense = shade.compute_shadow_factor(
+            packed, jnp.asarray(wx), jnp.asarray(wy), jnp.asarray(wz),
+            jnp.asarray(view_z), sd, 3, True)
+        blk_np = np.asarray(blk_3s)
+        np.testing.assert_array_equal(np.asarray(dense)[blk_np],
+                                      np.ones(int(blk_np.sum()), np.float32))
+
+    def test_quad_proves_receiver_in_map_lit(self):
         """The receiver-in-map case (the reference's cascade maps CONTAIN
         the lit receivers — front culling with the unflipped light matrix
         keeps light-facing faces): on a gently sloped surface whose
         receivers sit ON the map, the coarse window-min lit proof can
         never hold (the window min is the receiver's own down-slope
-        surface), but the fine level must prove most such pixels lit."""
+        surface), but the receiver-quad stage must prove most such pixels
+        lit — it reads the receiver's own 2x2 texels, so the only depth
+        drop it sees is ~1 texel of slope, not a whole min/max cell."""
         size = 256
-        # production block sizes (2048-map values: coarse 64, fine 16).
-        # Slope m = 1.2e-5 depth/texel with receiver offset o = 2e-4:
-        #   fine window min reach <= 21 texels (hw_f = 5 over 16-cells)
-        #     -> drop m*21 = 2.5e-4 < bias - o = 3e-4: fine PROVES lit;
+        # slope m = 1.2e-5 depth/texel, receiver offset o = 2e-4:
+        #   quad min reach <= ~1 texel -> drop ~m < bias - o = 3e-4:
+        #     the quad stage PROVES lit;
         #   coarse window min reach is 6..70 texels (64-cells) -> drop
         #     up to 8.4e-4 > 3e-4 for most pixels: coarse CANNOT
         m = 1.2e-5
@@ -354,8 +423,6 @@ class TestClassifiedShadow:
         packed = _pack(smap)
         coarse = tex.make_coarse_rows(tex.build_shadow_coarse(packed,
                                                               block=64))
-        fine = tex.make_coarse_rows(tex.build_shadow_coarse(packed,
-                                                            block=16))
         rng = np.random.default_rng(4)
         h, w = 16, 24
         # receivers ON the surface: sz = the surface depth at su + 2e-4
@@ -375,11 +442,11 @@ class TestClassifiedShadow:
         lit_co, blk_co = shade._classify_shadow(
             coarse, su_j, sv_j, sz_j, layer, size, 3)
         lit_2l, blk_2l = shade._classify_shadow(
-            coarse, su_j, sv_j, sz_j, layer, size, 3, shadow_fine=fine)
+            coarse, su_j, sv_j, sz_j, layer, size, 3, shadow_rows=packed)
         frac_co = float(jnp.mean(lit_co.astype(jnp.float32)))
         frac_2l = float(jnp.mean(lit_2l.astype(jnp.float32)))
         assert frac_co < 0.6, f"coarse alone proved too much: {frac_co}"
-        assert frac_2l > 0.9, f"fine level failed to prove lit: {frac_2l}"
+        assert frac_2l > 0.9, f"quad stage failed to prove lit: {frac_2l}"
         assert frac_2l - frac_co > 0.3, (frac_co, frac_2l)
         # and the claim must be TRUE: dense CSM factor is 0 everywhere here
         dense = shade.compute_shadow_factor(
@@ -389,20 +456,19 @@ class TestClassifiedShadow:
         np.testing.assert_array_equal(np.asarray(dense)[lit_np],
                                       np.zeros(int(lit_np.sum()), np.float32))
 
-    def test_fine_quad_vs_plain_parity(self):
-        """The fine table's CoarseRows quad form must classify identically
-        to the plain [L, sb, sb] array form."""
+    def test_quad_rows_vs_packed_parity(self):
+        """The quad lit proof must classify identically whether the maps
+        arrive as ShadowRows (one row-8 gather) or pair-packed arrays."""
         packed, coarse, sd, gbuf, n_dot_l = self._setup(11, structured=True)
-        fine_plain = tex.build_shadow_coarse(packed, block=8)
-        fine_quad = tex.make_coarse_rows(fine_plain)
+        rows = tex.make_shadow_rows(packed)
         su, sv, sz, layer = shade.shadow_coords(
             gbuf["wx"], gbuf["wy"], gbuf["wz"], gbuf["view_z"], sd, 3)
         a = shade._classify_shadow(coarse, su, sv, sz, layer,
                                    packed.shape[-1], 3,
-                                   shadow_fine=fine_plain)
+                                   shadow_rows=packed)
         b = shade._classify_shadow(coarse, su, sv, sz, layer,
                                    packed.shape[-1], 3,
-                                   shadow_fine=fine_quad)
+                                   shadow_rows=rows)
         np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
         np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
 

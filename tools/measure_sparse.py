@@ -114,15 +114,15 @@ def main():
         lit_c, blk_c, parts = shade._classify_shadow(
             crows, su, sv, sz, layer, shadow_maps.shape[-1], 3,
             return_parts=True)
-        # two-level classifier (the production default): fine level adds
-        # the receiver-in-map lit proof
+        # three-stage classifier (the production default): receiver-quad
+        # lit proof (full-res ShadowRows) + fine tap-footprint min/max
+        srows = tex.make_shadow_rows(shadow_maps)
         fine = tex.make_coarse_rows(tex.build_shadow_coarse(
             shadow_maps, block=tex.fine_block_for(shadow_maps.shape[-1])))
         lit_2l, blk_2l = shade._classify_shadow(
             crows, su, sv, sz, layer, shadow_maps.shape[-1], 3,
-            shadow_fine=fine)
+            shadow_rows=srows, shadow_fine=fine)
         # ground-truth proxy: the 1-tap hard test at the window center
-        srows = tex.make_shadow_rows(shadow_maps)
         hard = shade._shadow_hard(srows, su, sv, sz, layer)
         unc = active & ~lit_c & ~blk_c
 

@@ -23,32 +23,28 @@ import numpy as np
 
 
 VARIANTS = [
-    ("baseline", {}),            # k_raster ON + pair_cap auto (defaults)
+    ("baseline", {}),            # post-floor-fix defaults (peels 7, quad+
+    #                              fine classifier, cap_opaque 16k)
     # round-3 structural changes, A/B'd OFF against the new baseline
     ("no_k_raster", {"k_raster": False}),
     ("no_fine_classify", {"shadow_fine_classify": False}),
     ("no_pair_compact", {"pair_cap": 0, "shadow_pair_cap": 0}),
-    # tighter compaction (auto is 8 pairs/tri + 64k slack; overflow>0 in
-    # the stats line means the cap lies — discard that variant)
-    ("pair4/tri", {"pair_cap": 260_000 * 4 + 65_536,
-                   "shadow_pair_cap": 260_000 * 4 + 65_536}),
     ("packed_rows", {"packed_rows": True}),
     ("fused_meta", {"fused_mat_meta": True}),
     ("mr_trilinear", {"mr_nearest_mip": False}),
+    # masked peel depth (overflow>0 in the stats line disqualifies)
+    ("peels6", {"masked_peels": 6}),
+    ("peels8", {"masked_peels": 8}),
     ("max_span8", {"max_span": 8, "big_cap": 2048}),
-    ("packed+span8", {"packed_rows": True, "max_span": 8, "big_cap": 2048}),
     # per-cascade shadow sorts: static keys = T*span + big_cap*1024 tiles
     ("shadow_span8", {"shadow_max_span": 8, "shadow_big_cap": 512}),
-    # measured per-cascade chunk needs at the bench camera are
-    # 4116/3732/3551/1456 (tools/measure_sparse.py) — 4352 keeps ~6%
-    # headroom over the worst cascade vs the 5120 default
     ("rec_shadow4352", {"rec_shadow": 4352}),
-    ("shadow_span4", {"shadow_max_span": 4, "shadow_big_cap": 1024}),
-    # classified-filter uncertain band measured 0.8% (~17k px) at the
-    # bench camera; compact-list cost is CAP-proportional (auto = 130k)
-    ("classify48k", {"shadow_classify_cap": 49152}),
+    # classified-filter band: right-size against measure_sparse's
+    # uncertain_2level (compact-list cost is CAP-proportional)
+    ("classify196k", {"shadow_classify_cap": 196_608}),
+    ("classify384k", {"shadow_classify_cap": 393_216}),
     ("combo", {"max_span": 8, "big_cap": 2048, "shadow_max_span": 8,
-               "shadow_big_cap": 512, "shadow_classify_cap": 49152}),
+               "shadow_big_cap": 512}),
 ]
 
 

@@ -48,13 +48,25 @@ class FrameConfig:
     height: int = 1080
     tile_w: int = 128
     tile_h: int = 32
-    cap_opaque: int = 2048
+    # per-tile opaque candidate capacity: the floor's subdivision grid
+    # compresses into the horizon tile rows — the bench camera's worst
+    # tile holds 10.9k opaque candidates (tools/diag_overflow.py; the
+    # round-2 default 2048 dropped 48.5k pairs once the floor/ceiling
+    # winding fix made them visible).  Counts-clamp only on the TPU
+    # packed path (records stay bounded by rec_opaque)
+    cap_opaque: int = 16384
     cap_masked: int = 512
     cap_transparent: int = 256
     raster_chunk: int = 16           # XLA-path chunking (Pallas is fixed 64)
     masked_chunk: int = 8
     transparent_peels: int = 2
-    masked_peels: int = 2
+    # masked (alpha-cutoff) peel depth: the bench scene's foliage stacks
+    # up to 8 raw layers deep at the flagship camera, but acceptance
+    # (alpha >= 0.5) stops most chains — the acceptance-gated pending set
+    # is EMPTY after 6 peels (tools/diag_overflow.py masked_pend*:
+    # 379k/33k/3.9k/904/91/0), so 7 gives a full layer of margin while
+    # the tail peels ride the ~free tiny accept tier
+    masked_peels: int = 7
     # occupancy-packed record caps (TPU path; auto-shrunk to scene size).
     # Record-build cost is proportional to the STATIC cap, and truncation
     # is counted in bin_overflow — sized ~5x above bench-scene occupancy.
@@ -132,13 +144,15 @@ class FrameConfig:
     # Beyond the cap a lax.cond runs the dense filter instead — exact on
     # every path; the miss count lands in the fallback_px stat
     shadow_classify_cap: int = -1
-    # second (FINE) classifier level carrying the receiver-in-map lit
-    # proof (shade._classify_shadow docstring): the reference's cascade
-    # maps CONTAIN the lit receivers (front culling keeps light-facing
-    # faces — vk_engine_run.cpp:541 omits the y-flip of :488), so the
-    # coarse window-min lit test alone leaves ~100% of hard-lit pixels
-    # "uncertain" (measured, tools/measure_sparse.py).  The fine level
-    # bounds the PCF disk instead.  False = coarse-only (A/B benching)
+    # second classifier stage: the receiver-quad lit proof
+    # (shade._classify_shadow docstring).  The reference's cascade maps
+    # CONTAIN the lit receivers (front culling keeps light-facing faces —
+    # vk_engine_run.cpp:541 omits the y-flip of :488), so the coarse
+    # window-min lit test alone leaves ~100% of hard-lit pixels
+    # "uncertain" (measured, tools/measure_sparse.py).  Stage 2 reads the
+    # receiver's own 2x2 texel quad (one ShadowRows gather) — min/max
+    # tables at any granularity dilate by whole cells and fail on sloped
+    # floors.  False = coarse-only (A/B benching)
     shadow_fine_classify: bool = True
     # sparse skybox: only compacted uncovered pixels sample the cubemap
     # (-1 = auto cap, 0 = dense, >0 explicit).  Dense lax.cond fallback
@@ -215,14 +229,14 @@ def render_frame_packed(scene, frame_vec: jax.Array, cfg: FrameConfig):
 
 def _resolve_classify_cap(cfg: FrameConfig) -> int:
     """Uncertain-band capacity for classified shadow filtering: -1 = auto
-    (1/16 of the frame — the bench camera measures 0.8% uncertain, see
-    tools/measure_sparse.py + docs/PERF.md, so this is ~8x headroom;
-    compact-list gather cost is CAP-proportional, so oversizing wastes),
-    0 = off.  Beyond the cap a lax.cond falls back to the dense filter —
-    exact for every camera."""
+    (1/8 of the frame — the post-floor-fix bench camera measures ~5-16%
+    uncertain depending on classifier stages, see tools/measure_sparse.py
+    + docs/PERF.md; compact-list gather cost is CAP-proportional, so
+    oversizing wastes), 0 = off.  Beyond the cap a lax.cond falls back to
+    the dense filter — exact for every camera."""
     if cfg.shadow_classify_cap >= 0:
         return cfg.shadow_classify_cap
-    return max(8192, (cfg.width * cfg.height) // 16)
+    return max(8192, (cfg.width * cfg.height) // 8)
 
 
 def _resolve_sky_cap(cfg: FrameConfig) -> int | None:
@@ -255,12 +269,14 @@ def _resolve_pair_cap(cfg_cap: int, n_tris: int, max_span: int,
 
 
 def _build_classifier_tables(shadow_packed, cfg: FrameConfig):
-    """Min/max classifier tables for penumbra-classified sparse shadow
-    filtering (shade.classified_shadow_factor): the coarse level bounds
-    every filter window; with ``cfg.shadow_fine_classify`` a second,
-    finer level is returned as a (coarse, fine) tuple for the
-    receiver-in-map lit proof.  Both are cheap block reductions over the
-    pair-packed maps."""
+    """Classifier tables for penumbra-classified sparse shadow filtering
+    (shade.classified_shadow_factor): the coarse level bounds the blocker
+    search; the 4x-finer level bounds the TAP footprint near shadow
+    boundaries (both sides of the lit/blocked question).  The
+    receiver-quad stage needs no table (it reads the full-res ShadowRows
+    the filters already carry).  Both tables are cheap block reductions
+    over the pair-packed maps; ``cfg.shadow_fine_classify`` gates the
+    quad + fine stages together (A/B benching)."""
     if cfg.shadow_classify_cap == 0:
         return None
     coarse = tex.make_coarse_rows(tex.build_shadow_coarse(shadow_packed))
@@ -334,6 +350,11 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     # cost is CAP-proportional — pad slots gather like real pixels)
     cap = cfg.sparse_cap or max(8192, (w * h) // 3)
     cap_small = min(cap, max(8192, (w * h) // 24))
+    # tiny tier for the deep-peel tail: pending sets shrink ~10x per peel
+    # (acceptance stops most chains), so peels 3+ see a few thousand
+    # pixels — compact-list cost is CAP-proportional, and an 8k list is
+    # ~10x cheaper than cap_small's
+    cap_tiny = min(cap_small, 8192)
 
     def accept_sparse(t2, cap):
         sel, _ = _compact_covered(t2, cap)
@@ -354,11 +375,15 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
             n_found == 0,
             lambda t: jnp.zeros((w * h,), bool),
             lambda t: jax.lax.cond(
-                n_found <= cap_small,
-                lambda u: accept_sparse(u, cap_small),
-                lambda u: jax.lax.cond(n_found <= cap,
-                                       lambda v: accept_sparse(v, cap),
-                                       accept_dense, u),
+                n_found <= cap_tiny,
+                lambda u: accept_sparse(u, cap_tiny),
+                lambda u: jax.lax.cond(
+                    n_found <= cap_small,
+                    lambda v: accept_sparse(v, cap_small),
+                    lambda v: jax.lax.cond(n_found <= cap,
+                                           lambda x: accept_sparse(x, cap),
+                                           accept_dense, v),
+                    u),
                 t),
             t2)
 
@@ -632,7 +657,8 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                                     shadow_sparse_cap=classify_cap,
                                     shadow_coarse=shadow_coarse,
                                     mr_nearest_mip=cfg.mr_nearest_mip,
-                                    fused_mat_meta=cfg.fused_mat_meta)
+                                    fused_mat_meta=cfg.fused_mat_meta,
+                                    shadow_quad_lit=cfg.shadow_fine_classify)
         # classified path is exact (dense lax.cond fallback beyond cap);
         # the count is a cap-sizing signal, not a deviation
         fallback_px = fallback_px + sp_sh
@@ -859,7 +885,8 @@ def _transparent_pass(scene, scene_data, settings, cfg, plan_t,
             shadow_sparse_cap=cap,      # the compact list can be fully active
             shadow_coarse=shadow_coarse,
             mr_nearest_mip=cfg.mr_nearest_mip,
-            fused_mat_meta=cfg.fused_mat_meta)
+            fused_mat_meta=cfg.fused_mat_meta,
+            shadow_quad_lit=cfg.shadow_fine_classify)
         contrib = (tid_s >= 0) & (alpha >= 0.5)         # discard still applies
         # additive blend via scatter-add; pad slots (sel == -1) are routed
         # out of bounds POSITIVELY (w*h) so mode="drop" discards them

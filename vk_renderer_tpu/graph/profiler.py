@@ -186,7 +186,8 @@ def profile_passes(scene, scene_data: dict, settings: dict,
                       (sd["sunlight_color"][3] if cfg.enable_shadows
                        else False), shadow_sparse_cap=cap_sh,
                       shadow_coarse=coarse,
-                      mr_nearest_mip=cfg.mr_nearest_mip)
+                      mr_nearest_mip=cfg.mr_nearest_mip,
+                      shadow_quad_lit=cfg.shadow_fine_classify)
 
     if cfg.enable_shadows:
         def stage_shadow(scene, world_pos, tri_visible, sd):

@@ -44,6 +44,11 @@ POISSON_DISK = [
     (-0.24188840, 0.99706507), (-0.81409955, 0.91437590),
     (0.19984126, 0.78641367), (0.14383161, -0.14100790)]
 
+# smallest |offset| in the disk (the (0.144, -0.141) entry, ~0.2014):
+# the blocked-certainty proof only needs ONE search tap's neighborhood to
+# be provably a blocker, and this tap has the tightest footprint
+_POISSON_MIN_MAG = min((x * x + y * y) ** 0.5 for x, y in POISSON_DISK)
+
 
 # ----------------------------------------------------------------------------
 # shadow filter library (planar: coordinates as (su, sv, sz) [H, W] arrays)
@@ -191,6 +196,13 @@ def compute_shadow_factor(shadow_maps, wx, wy, wz, view_z, scene_data,
 # quantization step (1.5e-5), so certainty claims stay rigorous.
 _CLASSIFY_EPS = 1e-5
 _CLASSIFY_PAD = 4.0    # texels: bilinear footprint (1.5) + fp slack
+# receiver-quad proof position slack (texels): the filter's tap position
+# (su + p*radius)*s - 0.5 and the classifier's cell fraction start from
+# the SAME su, so only the f32 rounding of the radius product and the two
+# scale/offset ops separates them — < 5e-4 texels at a 4096 map
+# (ulp(su) * s ~ 1.2e-4 + ulp of the final subtract).  0.01 texels is
+# ~20x that while excluding only a 2% containment sliver per axis.
+_QUAD_POS_EPS = 0.01
 
 
 def _window_minmax(table, cx, cy, hw, layer, map_size: int):
@@ -245,7 +257,7 @@ def _window_minmax(table, cx, cy, hw, layer, map_size: int):
 
 def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
                      shadow_mode, return_parts: bool = False,
-                     shadow_fine=None):
+                     shadow_rows=None, shadow_fine=None):
     """Conservative per-pixel classification against the coarse min/max
     map (texture.build_shadow_coarse).  Returns (lit_c, blk_c) where
     lit_c  => the mode's filter returns exactly 0.0 (fully lit)
@@ -267,18 +279,38 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
     blockers too: factor is exactly 1.  If even the window min is not a
     blocker, no tap of any mode contributes: factor is exactly 0.
 
-    RECEIVER-IN-MAP second stage (``shadow_fine``, the finer min/max
-    table): the reference's CSM light matrix omits the Vulkan y-flip
-    (vk_engine_run.cpp:541 vs :488), so its FRONT culling keeps the
-    light-FACING faces — lit receivers are IN the cascade maps with
-    their own sloped depth gradient, and the window-min lit proof above
-    can never hold on them (measured: 100% of hard-lit pixels uncertain
-    at the bench camera).  The fix uses what the filter actually does:
-    any blocker found satisfies z >= window_min, which bounds the PCSS
-    penumbra radius; if the FINE window around the receiver (radius +
-    bilinear pad) has min >= sz - bias, then NO PCF tap passes the
-    compare and the factor is exactly 0 whether or not the blocker
-    search 'hit' the receiver's own surface."""
+    RECEIVER-QUAD second stage (``shadow_rows``, the full-resolution
+    maps — one row-8 ShadowRows gather per pixel): the reference's CSM
+    light matrix omits the Vulkan y-flip (vk_engine_run.cpp:541 vs
+    :488), so its FRONT culling keeps the light-FACING faces — lit
+    receivers are IN the cascade maps with their own sloped depth
+    gradient, and the window-min lit proof above can never hold on them
+    (the window min is the receiver's own down-slope depth; a min/max
+    table at ANY cell granularity dilates the window by whole cells and
+    fails on gently sloped floors, the dominant receiver class).  The
+    fix reads the receiver's OWN 2x2 texel quad: any blocker the search
+    finds has z >= coarse window min, which bounds the PCSS penumbra
+    radius; when that radius (in texels, + position slack) fits inside
+    the tap center's bilinear cell margins, every PCF tap interpolates
+    exactly this quad — if even its min is no blocker, no tap passes
+    the compare and the factor is exactly 0, whether or not the blocker
+    search 'hit' the receiver's own surface.  No cell-granularity
+    dilation: the probe IS the filter's footprint.
+
+    FINE-WINDOW third stage (``shadow_fine``, a 4x-finer min/max table —
+    texture.fine_block_for): the coarse table's window must cover the
+    blocker SEARCH (~2*20 texels), forcing 64-texel cells whose +-2-cell
+    dilation smears every shadow boundary into a ~256-texel uncertain
+    strip.  But the lit/blocked question itself only needs the TAP
+    footprint: the PCF disk's bounded radius plus — for the blocked
+    proof's z_blocker >= 0 requirement — the SMALLEST blocker-search tap
+    (|offset| >= 0.201 * search_w: if even that tap's neighborhood max
+    is a blocker, the search finds a blocker and pcf == 1 means factor
+    is exactly 1).  That window is <= ~8 texels, so 16-texel fine cells
+    cover it with 4x less dilation — the fine min/max over it proves
+    lit (min is no blocker -> no tap passes) and blocked (max is a
+    blocker -> every PCF tap passes AND the min-magnitude search tap
+    hits) right up close to the true penumbra."""
     s = jnp.float32(map_size)
     cx = su * s                      # window center, texel-index space
     cy = sv * s
@@ -303,31 +335,57 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
         return ((cx - hw < 0.0) | (cx + hw > s - 1.0)
                 | (cy - hw < 0.0) | (cy + hw > s - 1.0))
 
-    def fine_lit(hw_f):
-        # factor == 0 iff no PCF-compare tap passes sz - bias > d: all
-        # taps lie within hw_f of the center, their bilinear values are
-        # >= the fine-window min (off-map taps are border 1.0, which
-        # never passes), so min >= sz - bias proves it
-        mn_f, _, fits_f, _, _, _ = _window_minmax(
-            shadow_fine, cx, cy, hw_f, layer, map_size)
-        return fits_f & ~(sz - SHADOW_BIAS > mn_f - _CLASSIFY_EPS)
+    def quad_lit(m_tex):
+        # receiver-quad lit proof: when every tap of the mode lies within
+        # ``m_tex`` texels of the center AND the center's bilinear-cell
+        # margins exceed m_tex, every tap interpolates the SAME 2x2 texel
+        # quad (convexity, off-map corners = border 1.0 which never
+        # passes) — if even the quad min is no blocker, no tap passes
+        # sz - bias > d: factor exactly 0.  One row-8 gather.
+        lc = jnp.minimum(layer, tex.shadow_layer_count(shadow_rows) - 1)
+        t00, t10, t01, t11 = tex.shadow_tap_corners(shadow_rows, su, sv, lc)
+        qmin = jnp.minimum(jnp.minimum(t00, t10), jnp.minimum(t01, t11))
+        fx = (cx - 0.5) - jnp.floor(cx - 0.5)
+        fy = (cy - 0.5) - jnp.floor(cy - 0.5)
+        contained = ((fx >= m_tex) & (fx <= 1.0 - m_tex)
+                     & (fy >= m_tex) & (fy <= 1.0 - m_tex))
+        return contained & ~(sz - SHADOW_BIAS > qmin - _CLASSIFY_EPS)
 
     # certain-lit over the lit window (border texels are depth 1.0)
     mn_eff = jnp.where(touches_border(hw_lit), jnp.minimum(mn_g, 1.0), mn_g)
     mn_m = mn_eff - _CLASSIFY_EPS
     lit_c = fits & ~(mn_m + SHADOW_BIAS < sz) & ~(sz - SHADOW_BIAS > mn_m)
 
+    def fine_minmax(hw):
+        # fine-window lit/blocked bounds over the TAP footprint (window
+        # fits 2x2 fine cells whenever hw <= cell size; unfavorable
+        # alignment or a huge radius just leaves the pixel uncertain)
+        mn_f, mx_f, fits_f, _, _, _ = _window_minmax(
+            shadow_fine, cx, cy, hw, layer, map_size)
+        bl = touches_border(hw)
+        mn_fe = jnp.where(bl, jnp.minimum(mn_f, 1.0), mn_f) - _CLASSIFY_EPS
+        mx_fe = jnp.where(bl, jnp.maximum(mx_f, 1.0), mx_f) + _CLASSIFY_EPS
+        f_lit = fits_f & ~(sz - SHADOW_BIAS > mn_fe)
+        f_blk = fits_f & (mx_fe + SHADOW_BIAS < sz) & (sz - SHADOW_BIAS > mx_fe)
+        return f_lit, f_blk
+
     if static_mode and shadow_mode < 2:
-        # Hard/PCF tap positions are FIXED (no data-dependent radius):
-        # the fine min over the tap window alone proves factor == 0
-        if shadow_fine is not None:
-            lit_c = lit_c | fine_lit(hw_lit)
+        # Hard's single tap is AT the quad center (containment trivial,
+        # m = 0); PCF's 3x3 taps exceed one quad — no quad proof there
+        if shadow_rows is not None and shadow_mode == 0:
+            lit_c = lit_c | quad_lit(jnp.float32(0.0))
         # Hard/PCF taps all lie in the lit window: blocked-certainty needs
         # no penumbra-radius bound
         mx_eff = jnp.where(touches_border(hw_lit), jnp.maximum(mx_g, 1.0),
                            mx_g)
         mx_m = mx_eff + _CLASSIFY_EPS
         blk_c = fits & (mx_m + SHADOW_BIAS < sz) & (sz - SHADOW_BIAS > mx_m)
+        if shadow_fine is not None:
+            # fixed tap positions: the fine window over hw_lit bounds
+            # every tap with 4x less cell dilation than the coarse one
+            f_lit, f_blk = fine_minmax(hw_lit)
+            lit_c = lit_c | f_lit
+            blk_c = blk_c | f_blk
         if return_parts:
             return lit_c, blk_c & ~lit_c, {
                 "fits": fits, "in_region": fits, "mn": mn_eff, "mx": mx_eff,
@@ -344,15 +402,48 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
     penumbra_bound = (sz - zb_min) / zb_min
     radius_bound = penumbra_bound * LIGHT_SIZE_UV * NEAR_PLANE / sz
 
+    rb_tex = jnp.maximum(radius_bound, 0.0) * s
+    if shadow_rows is not None:
+        # receiver-quad lit proof (docstring): all PCF taps within the
+        # bounded radius interpolate the center quad when that radius
+        # (+ fp position slack) fits the bilinear-cell margins.  The
+        # radius bound relies on the coarse min covering the blocker
+        # search, hence `fits`; a NaN/degenerate radius (sz <= 0)
+        # falls out via `contained`.  For a traced runtime mode of 0 the
+        # bound is unnecessary but still sound (m only shrinks coverage);
+        # runtime mode 1 (PCF 3x3) exceeds one quad — masked out.
+        m_eff = rb_tex + _QUAD_POS_EPS
+        if static_mode:
+            lit_c = lit_c | (fits & quad_lit(m_eff))
+        else:
+            mode_t = jnp.asarray(shadow_mode)
+            valid = jnp.where(mode_t >= 2, fits, mode_t < 1)
+            lit_c = lit_c | (valid & quad_lit(m_eff))
+
     if shadow_fine is not None:
-        # receiver-in-map lit proof: all PCF taps within the bounded
-        # radius (union'd with Hard/PCF's 1-texel reach for traced
-        # modes), min over that fine window >= sz - bias => factor 0.
-        # Valid only where the coarse window covered the blocker search
-        # (fits) — the radius bound relies on its min
-        hw_f = (jnp.maximum(jnp.abs(radius_bound) * s, 1.0)
-                + _CLASSIFY_PAD)
-        lit_c = lit_c | (fits & fine_lit(hw_f))
+        # fine-window proofs over the TAP footprint (docstring stage 3):
+        # hw covers the PCF disk's bounded radius (+ the fixed Hard/PCF
+        # reach for traced modes) and, for the blocked side's
+        # z_blocker >= 0 requirement, the smallest blocker-search tap.
+        # Valid wherever the radius bound itself is (coarse window fits);
+        # traced runtime modes < 2 need no radius, so only >= 2 gates on
+        # `fits`.  One fine gather serves both sides (lit over the
+        # larger window is just more conservative).
+        union1 = 0.0 if static_mode else 1.0
+        hw_pcf = jnp.maximum(rb_tex, union1) + _CLASSIFY_PAD
+        hw_f = jnp.maximum(hw_pcf,
+                           _POISSON_MIN_MAG * jnp.abs(search_w) * s
+                           + _CLASSIFY_PAD)
+        f_lit, f_blk = fine_minmax(hw_f)
+        if static_mode:
+            valid_f = fits
+        else:
+            mode_tf = jnp.asarray(shadow_mode)
+            valid_f = jnp.where(mode_tf >= 2, fits, True)
+        lit_c = lit_c | (valid_f & f_lit)
+        blk_fine = valid_f & f_blk
+    else:
+        blk_fine = False
 
     # certain-blocked additionally needs the PCSS PCF disk: its radius at
     # the worst (smallest) possible blocker depth must fit the gathered
@@ -368,6 +459,7 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
     mx_m = mx_eff + _CLASSIFY_EPS
     blk_c = (fits & in_region
              & (mx_m + SHADOW_BIAS < sz) & (sz - SHADOW_BIAS > mx_m))
+    blk_c = blk_c | blk_fine
     if return_parts:
         return lit_c, blk_c & ~lit_c, {
             "fits": fits, "in_region": in_region,
@@ -381,7 +473,7 @@ def _classify_shadow(shadow_coarse, su, sv, sz, layer, map_size: int,
 
 def classified_shadow_factor(shadow_maps, shadow_coarse, gbuf, scene_data,
                              shadow_mode, enable_shadows, n_dot_l, cap: int,
-                             shadow_fine=None):
+                             quad_lit: bool = True, shadow_fine=None):
     """Penumbra-classified sparse shadow factor — exact, at a fraction of
     the dense filter's gather cost.  Three tiers:
       1. classify every active pixel (covered, sun-facing, shadows on)
@@ -412,9 +504,10 @@ def classified_shadow_factor(shadow_maps, shadow_coarse, gbuf, scene_data,
     active = gbuf["covered"] & (n_dot_l > 0.0)
     if not isinstance(enable_shadows, bool):
         active = active & (jnp.asarray(enable_shadows) > 0.5)
-    lit_c, blk_c = _classify_shadow(shadow_coarse, su, sv, sz, layer,
-                                    tex.shadow_map_size(shadow_maps),
-                                    shadow_mode, shadow_fine=shadow_fine)
+    lit_c, blk_c = _classify_shadow(
+        shadow_coarse, su, sv, sz, layer, tex.shadow_map_size(shadow_maps),
+        shadow_mode, shadow_rows=shadow_maps if quad_lit else None,
+        shadow_fine=shadow_fine)
     uncertain = active & ~lit_c & ~blk_c
     base = jnp.where(active & blk_c, 1.0, 0.0)
     n = n_dot_l.size
@@ -506,7 +599,7 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
               shadow_mode: int, enable_shadows: bool,
               shadow_sparse_cap: int | None = None,
               shadow_coarse=None, mr_nearest_mip: bool = False,
-              fused_mat_meta: bool = False):
+              fused_mat_meta: bool = False, shadow_quad_lit: bool = True):
     """mesh_pbr.frag main (185-226) over the planar G-buffer.
     Returns ((r, g, b), albedo_alpha), all planar [H, W] — plus a
     shadow-compaction overflow scalar when ``shadow_sparse_cap`` is set
@@ -635,12 +728,13 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
                                        enable_shadows)
         sp_ovf = None
     elif shadow_coarse is not None:
-        # shadow_coarse may be (coarse, fine) — the two-level classifier
+        # shadow_coarse may be (coarse, fine) — the three-stage classifier
         coarse, fine = (shadow_coarse if isinstance(shadow_coarse, tuple)
                         else (shadow_coarse, None))
         shadow, sp_ovf = classified_shadow_factor(
             shadow_maps, coarse, gbuf, scene_data, shadow_mode,
-            enable_shadows, n_dot_l, shadow_sparse_cap, shadow_fine=fine)
+            enable_shadows, n_dot_l, shadow_sparse_cap,
+            quad_lit=shadow_quad_lit, shadow_fine=fine)
     else:
         shadow, sp_ovf = _sparse_shadow_factor(
             shadow_maps, gbuf, scene_data, shadow_mode, enable_shadows,
@@ -658,7 +752,7 @@ def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
                shadow_mode: int, enable_shadows: bool,
                shadow_sparse_cap: int | None = None,
                shadow_coarse=None, mr_nearest_mip: bool = False,
-               fused_mat_meta: bool = False):
+               fused_mat_meta: bool = False, shadow_quad_lit: bool = True):
     """mesh.frag main (124-182): Lambert + ambient with the same shadow
     library and alpha handling."""
     del mr_nearest_mip   # no metallic-roughness texture in the flat path
@@ -699,7 +793,8 @@ def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
                         else (shadow_coarse, None))
         shadow, sp_ovf = classified_shadow_factor(
             shadow_maps, coarse, gbuf, scene_data, shadow_mode,
-            enable_shadows, n_dot_l, shadow_sparse_cap, shadow_fine=fine)
+            enable_shadows, n_dot_l, shadow_sparse_cap,
+            quad_lit=shadow_quad_lit, shadow_fine=fine)
     else:
         shadow, sp_ovf = _sparse_shadow_factor(
             shadow_maps, gbuf, scene_data, shadow_mode, enable_shadows,

@@ -94,15 +94,22 @@ def composite_skybox(color, depth: jax.Array, cubemap: jax.Array,
         return tuple(jnp.where(mask, s, c) for s, c in zip(sky, color))
 
     # compact-list gather cost is CAP-proportional, so the cap is tiered
-    # by the live sky count (post-floor-fix interiors leave only a few %
-    # of the frame uncovered; the big cap is the open-view fallback)
+    # by the live sky count: interiors with the floor/ceiling fixed leave
+    # only a handful of uncovered pixels (the bench camera measures 2 —
+    # tools/measure_sparse.py), so the ladder starts at a tiny tier; the
+    # big cap and the dense path are the open-view fallbacks
+    cap_tiny = min(sparse_cap, 8192)
     cap_small = min(sparse_cap, max(8192, sparse_cap // 4))
     n_sky = jnp.sum(mask.astype(jnp.int32))
     out = jax.lax.cond(
-        n_sky <= cap_small,
-        lambda a: sparse_path(a, cap_small),
-        lambda a: jax.lax.cond(n_sky <= sparse_cap,
-                               lambda b: sparse_path(b, sparse_cap),
-                               dense_path, a),
+        n_sky <= cap_tiny,
+        lambda a: sparse_path(a, cap_tiny),
+        lambda a: jax.lax.cond(
+            n_sky <= cap_small,
+            lambda b: sparse_path(b, cap_small),
+            lambda b: jax.lax.cond(n_sky <= sparse_cap,
+                                   lambda c: sparse_path(c, sparse_cap),
+                                   dense_path, b),
+            a),
         (color, depth, mask))
     return out, jnp.maximum(n_sky - sparse_cap, 0)

@@ -266,17 +266,22 @@ def coarse_block_for(size: int) -> int:
     [16, 64].  The lower clamp keeps the widest PCSS search window
     (~2*(0.01*S + 4) texels) within TWO consecutive cells so the
     classifier's 2x2 gather always covers it; the upper clamp bounds the
-    uncertainty dilation around depth discontinuities (+-2 cells)."""
+    uncertainty dilation around depth discontinuities (+-2 cells).  The
+    dilation problem is instead attacked by the FINE table
+    (fine_block_for) whose window only has to cover the filter's TAP
+    footprint, not the blocker search."""
     return max(16, min(SHADOW_COARSE_BLOCK, size // 32))
 
 
 def fine_block_for(size: int) -> int:
-    """Cell size of the classifier's FINE min/max level (the stage-2
-    receiver-in-map lit proof, shade._classify_shadow): the PCF-disk
-    window it must cover is radius-bounded and typically a few texels
-    (slope-induced penumbrae), so cells 4x smaller than the coarse level
-    keep it within one 2x2 gather while quartering the block-granularity
-    dilation."""
+    """Cell size of the classifier's FINE min/max level: its window only
+    covers the filter's TAP footprint (PCF disk radius bound + the
+    smallest blocker-search tap, typically <= ~8 texels — see
+    shade._classify_shadow), so cells 4x smaller than the coarse level
+    still guarantee the 2x2-cell fit while quartering the
+    block-granularity dilation around shadow boundaries — the dominant
+    term in the uncertain band once the receiver-quad proof handles
+    sloped lit floors."""
     return max(4, coarse_block_for(size) // 4)
 
 
@@ -365,8 +370,9 @@ def _sel4(v4, c):
     return out
 
 
-def _sample_shadow_rows(sr: ShadowRows, us, vs, layer):
-    """ShadowRows fast path: one row-8 gather per tap (see ShadowRows)."""
+def _shadow_corners_rows(sr: ShadowRows, us, vs, layer):
+    """Border-substituted bilinear corner depths (t00, t10, t01, t11) plus
+    the lerp fractions, from ONE row-8 gather per tap (see ShadowRows)."""
     size = sr.size
     sf = jnp.float32(size)
     x = us * sf - 0.5
@@ -405,9 +411,32 @@ def _sample_shadow_rows(sr: ShadowRows, us, vs, layer):
     t10 = jnp.where(x1in & y0in, jnp.where(use_hi, hi0, lo0), 1.0)
     t01 = jnp.where(x0in & y1in, lo1, 1.0)
     t11 = jnp.where(x1in & y1in, jnp.where(use_hi, hi1, lo1), 1.0)
+    return t00, t10, t01, t11, fx, fy
+
+
+def _sample_shadow_rows(sr: ShadowRows, us, vs, layer):
+    """ShadowRows fast path: one row-8 gather per tap (see ShadowRows)."""
+    t00, t10, t01, t11, fx, fy = _shadow_corners_rows(sr, us, vs, layer)
     top = t00 + (t10 - t00) * fx
     bot = t01 + (t11 - t01) * fx
     return top + (bot - top) * fy
+
+
+def shadow_tap_corners(shadow_packed, u: jax.Array, v: jax.Array,
+                       layer: jax.Array):
+    """The four border-substituted corner depths (t00, t10, t01, t11) of
+    ONE bilinear tap at (u, v) — the exact texel values sample_shadow
+    would interpolate, without the lerp.  The classifier's receiver-quad
+    probe (shade._classify_shadow quad lit proof): every tap whose
+    position stays inside the center texel cell interpolates THESE four
+    values, so their min bounds every such tap from below.  One row-8
+    gather on the ShadowRows form; two flat takes on the packed form.
+    u/v planar [H, W] (any shape), layer matching."""
+    if isinstance(shadow_packed, ShadowRows):
+        c = _shadow_corners_rows(shadow_packed, u[None], v[None], layer)
+    else:
+        c = _shadow_corners_packed(shadow_packed, u[None], v[None], layer)
+    return tuple(x[0] for x in c[:4])
 
 
 class CoarseRows:
@@ -452,6 +481,15 @@ def sample_shadow_batch(shadow_packed, us: jax.Array,
     [0,1]^2 (opaque-white border).  Both forms are bit-identical."""
     if isinstance(shadow_packed, ShadowRows):
         return _sample_shadow_rows(shadow_packed, us, vs, layer)
+    t00, t10, t01, t11, fx, fy = _shadow_corners_packed(
+        shadow_packed, us, vs, layer)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def _shadow_corners_packed(shadow_packed, us, vs, layer):
+    """Legacy pair-packed form of _shadow_corners_rows (two flat takes)."""
     assert shadow_packed.dtype == jnp.int32, \
         "shadow maps must be pair-packed (texture.pack_shadow_maps)"
     size = shadow_packed.shape[-1]
@@ -487,9 +525,7 @@ def sample_shadow_batch(shadow_packed, us: jax.Array,
     t10 = jnp.where(x1in & y0in, jnp.where(use_hi, hi0, lo0), 1.0)
     t01 = jnp.where(x0in & y1in, lo1, 1.0)
     t11 = jnp.where(x1in & y1in, jnp.where(use_hi, hi1, lo1), 1.0)
-    top = t00 + (t10 - t00) * fx
-    bot = t01 + (t11 - t01) * fx
-    return top + (bot - top) * fy
+    return t00, t10, t01, t11, fx, fy
 
 
 def sample_shadow(shadow_packed: jax.Array, u: jax.Array, v: jax.Array,
