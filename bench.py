@@ -69,8 +69,12 @@ def main():
     # band at the bench camera is boundary strips + foliage receivers
     # (tools/measure_sparse.py); beyond the cap a lax.cond runs the dense
     # filter (fallback_px counts it; never a deviation).
+    # packed_rows: one wide per-triangle interpolation row per pixel
+    # instead of ~6 narrow gathers — bit-identical output
+    # (tests/test_frame.py packed-rows A/B), measured −240 ms at 1080p
+    # (tools/sweep_variants.py: 1199 vs 1442 ms).
     cfg = _dc.replace(driver.config_from_settings(settings, width, height),
-                      mr_nearest_mip=True)
+                      mr_nearest_mip=True, packed_rows=True)
     cam = Camera(position=np.array([9.0, 1.8, 0.3], np.float32))
     cam.yaw = np.pi / 2  # look down the long axis
 

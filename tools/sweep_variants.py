@@ -23,26 +23,18 @@ import numpy as np
 
 
 VARIANTS = [
-    ("baseline", {}),            # post-floor-fix defaults (peels 7, quad+
-    #                              fine classifier, cap_opaque 16k)
-    # round-3 structural changes, A/B'd OFF against the new baseline
-    ("no_k_raster", {"k_raster": False}),
-    ("no_fine_classify", {"shadow_fine_classify": False}),
-    ("no_pair_compact", {"pair_cap": 0, "shadow_pair_cap": 0}),
-    ("packed_rows", {"packed_rows": True}),
-    ("fused_meta", {"fused_mat_meta": True}),
-    ("mr_trilinear", {"mr_nearest_mip": False}),
+    ("baseline", {}),            # bench config (packed_rows, per-peel cap
+    #                              ladder, quad+fine classifier)
     # masked peel depth (overflow>0 in the stats line disqualifies)
     ("peels6", {"masked_peels": 6}),
-    ("peels8", {"masked_peels": 8}),
+    # bbox-span / big-cap trade, camera + shadow sorts
     ("max_span8", {"max_span": 8, "big_cap": 2048}),
-    # per-cascade shadow sorts: static keys = T*span + big_cap*1024 tiles
     ("shadow_span8", {"shadow_max_span": 8, "shadow_big_cap": 512}),
     ("rec_shadow4352", {"rec_shadow": 4352}),
     # classified-filter band: right-size against measure_sparse's
     # uncertain_2level (compact-list cost is CAP-proportional)
+    ("classify128k", {"shadow_classify_cap": 131_072}),
     ("classify196k", {"shadow_classify_cap": 196_608}),
-    ("classify384k", {"shadow_classify_cap": 393_216}),
     ("combo", {"max_span": 8, "big_cap": 2048, "shadow_max_span": 8,
                "shadow_big_cap": 512}),
 ]
@@ -74,7 +66,8 @@ def main():
     cam.yaw = np.pi / 2
     base = dataclasses.replace(
         driver.config_from_settings(settings, args.width, args.height),
-        mr_nearest_mip=True)      # bench default (golden-gated)
+        mr_nearest_mip=True,      # bench default (golden-gated)
+        packed_rows=True)         # bench default (bit-identical layout)
 
     names = args.only.split(",") if args.only else None
     for name, kw in VARIANTS:

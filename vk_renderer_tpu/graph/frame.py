@@ -349,11 +349,15 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     # so the compact list is TIERED by the live count (compact-list gather
     # cost is CAP-proportional — pad slots gather like real pixels)
     cap = cfg.sparse_cap or max(8192, (w * h) // 3)
+    # the first peel is the foliage bucket's full footprint (the bench
+    # camera measures 64% of the frame, tools/diag_overflow.py) — a
+    # 2/3-frame compact tier still beats the dense eval by the uncovered
+    # fraction, since compact-list cost is CAP-proportional
+    cap_huge = max(cap, (w * h * 2) // 3)
     cap_small = min(cap, max(8192, (w * h) // 24))
     # tiny tier for the deep-peel tail: pending sets shrink ~10x per peel
-    # (acceptance stops most chains), so peels 3+ see a few thousand
-    # pixels — compact-list cost is CAP-proportional, and an 8k list is
-    # ~10x cheaper than cap_small's
+    # (acceptance stops most chains), so peels 2+ see a few thousand
+    # pixels — an 8k list is ~10x cheaper than cap_small's
     cap_tiny = min(cap_small, 8192)
 
     def accept_sparse(t2, cap):
@@ -368,24 +372,37 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         alpha_d = _winner_alpha(scene, t2, rows, vattr, ptbl=ptbl)
         return (alpha_d >= 0.5).reshape(-1)
 
-    def tiered_accept(t2, n_found):
+    def tiered_accept(t2, n_found, peel_k: int):
+        # PER-PEEL cap ladder: every lax.cond branch compiles its own
+        # copy of the gather-heavy alpha eval, so each peel gets only the
+        # tiers its measured coverage class can hit (first peel: the
+        # bucket's full footprint; second: the first rejects, ~1/5 of it;
+        # later: the ~10x-per-peel tail) — fewer compiled branches AND a
+        # tighter cap than one shared ladder.  The dense eval remains the
+        # exact fallback on every peel; a miss is counted by the caller.
+        if peel_k == 0:
+            ladder = [cap, cap_huge]
+        elif peel_k == 1:
+            ladder = [cap_tiny, cap_small, cap]
+        else:
+            ladder = [cap_tiny, cap_small]
+        ladder = sorted(set(ladder))
+
+        def build(i):
+            if i == len(ladder):
+                return accept_dense
+            return lambda t: jax.lax.cond(n_found <= ladder[i],
+                                          lambda u: accept_sparse(u, ladder[i]),
+                                          build(i + 1), t)
+
         # zero tier first: cameras not facing foliage skip the cap-sized
         # alpha evaluation entirely (no found pixel can be accepted)
-        return jax.lax.cond(
-            n_found == 0,
-            lambda t: jnp.zeros((w * h,), bool),
-            lambda t: jax.lax.cond(
-                n_found <= cap_tiny,
-                lambda u: accept_sparse(u, cap_tiny),
-                lambda u: jax.lax.cond(
-                    n_found <= cap_small,
-                    lambda v: accept_sparse(v, cap_small),
-                    lambda v: jax.lax.cond(n_found <= cap,
-                                           lambda x: accept_sparse(x, cap),
-                                           accept_dense, v),
-                    u),
-                t),
-            t2)
+        return jax.lax.cond(n_found == 0,
+                            lambda t: jnp.zeros((w * h,), bool),
+                            build(0), t2)
+
+    def ladder_max(peel_k: int) -> int:
+        return cap_huge if peel_k == 0 else (cap if peel_k == 1 else cap_small)
 
     fallback = jnp.int32(0)
     if cfg.k_raster:
@@ -403,8 +420,8 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
             domain = (lt >= 0) if pending is None else pending & (lt >= 0)
             t2 = jnp.where(domain, lt, -1)
             n_found = jnp.sum(domain.astype(jnp.int32))
-            accept_flat = tiered_accept(t2, n_found)
-            fallback = fallback + jnp.maximum(n_found - cap, 0)
+            accept_flat = tiered_accept(t2, n_found, k)
+            fallback = fallback + jnp.maximum(n_found - ladder_max(k), 0)
             accept = domain & accept_flat.reshape(h, w)
             depth = jnp.where(accept, ld, depth)
             tid = jnp.where(accept, lt, tid)
@@ -414,15 +431,15 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         return depth, tid, peel_ovf, fallback
 
     floor = None
-    for _ in range(cfg.masked_peels):
+    for k in range(cfg.masked_peels):
         d2, t2 = raster.rasterize_plan(
             plan_m, padded, w, h, n_tris, tile_w=cfg.tile_w,
             tile_h=cfg.tile_h, chunk=cfg.masked_chunk, init_depth=depth,
             init_id=no_id, floor_depth=floor)
         found = t2 >= 0
         n_found = jnp.sum(found.astype(jnp.int32))
-        accept_flat = tiered_accept(t2, n_found)
-        fallback = fallback + jnp.maximum(n_found - cap, 0)
+        accept_flat = tiered_accept(t2, n_found, k)
+        fallback = fallback + jnp.maximum(n_found - ladder_max(k), 0)
         accept = found & accept_flat.reshape(h, w)
         depth = jnp.where(accept, d2, depth)
         tid = jnp.where(accept, t2, tid)
