@@ -73,8 +73,16 @@ def main():
     # instead of ~6 narrow gathers — bit-identical output
     # (tests/test_frame.py packed-rows A/B), measured −240 ms at 1080p
     # (tools/sweep_variants.py: 1199 vs 1442 ms).
+    # span-8 bbox emission + right-sized compact-sort caps: the measured
+    # winner of tools/sweep_variants.py (combo2; never slower than the
+    # span-16 defaults across runs, best honest run 943 ms vs 1348
+    # baseline in the same process; tunnel timing noise is ±20%, see
+    # docs/PERF.md).  Caps sized past the measured miss (fallback_px 0).
     cfg = _dc.replace(driver.config_from_settings(settings, width, height),
-                      mr_nearest_mip=True, packed_rows=True)
+                      mr_nearest_mip=True, packed_rows=True,
+                      max_span=8, big_cap=2048,
+                      shadow_max_span=8, shadow_big_cap=512,
+                      pair_cap=327_680, shadow_pair_cap=393_216)
     cam = Camera(position=np.array([9.0, 1.8, 0.3], np.float32))
     cam.yaw = np.pi / 2  # look down the long axis
 

@@ -31,12 +31,18 @@ VARIANTS = [
     ("max_span8", {"max_span": 8, "big_cap": 2048}),
     ("shadow_span8", {"shadow_max_span": 8, "shadow_big_cap": 512}),
     ("rec_shadow4352", {"rec_shadow": 4352}),
-    # classified-filter band: right-size against measure_sparse's
-    # uncertain_2level (compact-list cost is CAP-proportional)
-    ("classify128k", {"shadow_classify_cap": 131_072}),
-    ("classify196k", {"shadow_classify_cap": 196_608}),
+    # compact-before-sort caps: measured real pairs are 194k camera /
+    # ~230k per cascade (diag_out.log) vs the 585k auto cap — the sort
+    # costs its STATIC length, so a 1.3x-headroom cap halves the keys
+    ("pair262k", {"pair_cap": 262_144, "shadow_pair_cap": 294_912}),
     ("combo", {"max_span": 8, "big_cap": 2048, "shadow_max_span": 8,
-               "shadow_big_cap": 512}),
+               "shadow_big_cap": 512, "pair_cap": 262_144,
+               "shadow_pair_cap": 294_912}),
+    # combo with the pair caps bumped past the measured miss (combo's
+    # fallback_px 29405 = a cascade's span-8+big emission over 294912)
+    ("combo2", {"max_span": 8, "big_cap": 2048, "shadow_max_span": 8,
+                "shadow_big_cap": 512, "pair_cap": 327_680,
+                "shadow_pair_cap": 393_216}),
 ]
 
 

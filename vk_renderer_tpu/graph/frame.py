@@ -592,19 +592,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     tri_mat_p = jnp.concatenate([scene.tri_material, zero_i])
     rows = interp.build_tri_rows(padded, tris_p, tri_mat_p)
     vattr, vpos = _build_vertex_rows(scene, world_pos, world_nrm)
-    ptbl = None
-    if cfg.packed_rows and vpos is None:
-        # one [T+1, 48] row per triangle: per-pixel interpolation becomes
-        # ONE wide row-gather (see interp.build_packed_rows; colorless
-        # layout only — vpos None)
-        mat_rows = jnp.stack(
-            [scene.mat_tex_ids[:, 0].astype(jnp.float32),
-             scene.mat_tex_ids[:, 2].astype(jnp.float32),
-             scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
-             scene.mat_color_factors[:, 2], scene.mat_metal_rough[:, 0],
-             scene.mat_metal_rough[:, 1]], axis=-1)
-        ptbl = interp.build_packed_rows(padded, tris_p, tri_mat_p, vattr,
-                                        mat_rows)
+    ptbl = build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos)
 
     # ---- bin ONCE for every camera-view bucket (one pair sort; buckets
     # are contiguous tri-id ranges sliced out by binary search), then
@@ -770,6 +758,24 @@ def _to_u8_device(color: jax.Array) -> jax.Array:
     quantized image (4x smaller), never the f32 framebuffer."""
     q = jnp.clip(color, 0.0, 1.0) * 255.0 + 0.5
     return q.astype(jnp.uint8).transpose(1, 2, 0)
+
+
+def build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos):
+    """Packed per-triangle interpolation rows (cfg.packed_rows): one
+    [T+1, 48] row carrying edge planes, anchor, corner attributes and
+    material scalars, so per-pixel interpolation is ONE wide row-gather
+    (interp.build_packed_rows).  Colorless layout only (vpos None);
+    returns None when the flag is off — bit-identical output either way."""
+    if not (cfg.packed_rows and vpos is None):
+        return None
+    mat_rows = jnp.stack(
+        [scene.mat_tex_ids[:, 0].astype(jnp.float32),
+         scene.mat_tex_ids[:, 2].astype(jnp.float32),
+         scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
+         scene.mat_color_factors[:, 2], scene.mat_metal_rough[:, 0],
+         scene.mat_metal_rough[:, 1]], axis=-1)
+    return interp.build_packed_rows(padded, tris_p, tri_mat_p, vattr,
+                                    mat_rows)
 
 
 def _build_vertex_rows(scene, world_pos, world_nrm):

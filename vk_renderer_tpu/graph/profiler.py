@@ -85,9 +85,11 @@ def profile_passes(scene, scene_data: dict, settings: dict,
         tri_mat_p = jnp.concatenate([scene.tri_material, zero_i])
         rows = interp.build_tri_rows(padded, tris_p, tri_mat_p)
         vattr, vpos = F._build_vertex_rows(scene, world_pos, world_nrm)
+        ptbl = F.build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr,
+                            vpos)
         return {"st": st, "padded": padded, "rows": rows, "vattr": vattr,
                 "vpos": vpos, "world_pos": world_pos,
-                "tri_visible": tri_visible}
+                "tri_visible": tri_visible, "ptbl": ptbl}
 
     ms, setup_out = _timed(jax.jit(stage_setup), scene, scene_data,
                            iters=iters)
@@ -95,6 +97,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     st = setup_out["st"]
     padded = setup_out["padded"]
     rows, vattr, vpos = setup_out["rows"], setup_out["vattr"], setup_out["vpos"]
+    ptbl = setup_out["ptbl"]
 
     n_tris = scene.tris[0].shape[0]
     n_om = scene.n_opaque + scene.n_masked
@@ -149,21 +152,23 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     if scene.n_masked > 0:
         plan_m = plan_out.pop(0)
 
-        def stage_masked(scene, plan_m, padded, rows, vattr, depth, tid):
+        def stage_masked(scene, plan_m, padded, rows, vattr, depth, tid,
+                         ptbl):
             return F._masked_pass(scene, cfg, plan_m, padded, rows,
-                                  vattr, depth, tid)
+                                  vattr, depth, tid, ptbl=ptbl)
 
         ms, (depth, tid, _, _sp) = _timed(jax.jit(stage_masked), scene, plan_m,
-                                     padded, rows, vattr, depth, tid,
+                                     padded, rows, vattr, depth, tid, ptbl,
                                      iters=iters)
         timings["masked"] = ms
 
     # ---- stage: G-buffer interpolation
-    def stage_gbuffer(scene, sd, tid, rows, vattr, vpos):
-        return F._build_gbuffer(scene, sd, tid, rows, vattr, vpos)
+    def stage_gbuffer(scene, sd, tid, rows, vattr, vpos, ptbl):
+        return F._build_gbuffer(scene, sd, tid, rows, vattr, vpos,
+                                ptbl=ptbl)
 
     ms, gbuf = _timed(jax.jit(stage_gbuffer), scene, scene_data, tid, rows,
-                      vattr, vpos, iters=iters)
+                      vattr, vpos, ptbl, iters=iters)
     timings["gbuffer"] = ms
 
     # ---- stage: shade (PBR or flat, incl. texture sampling + shadows)
@@ -177,8 +182,8 @@ def profile_passes(scene, scene_data: dict, settings: dict,
         coarse = None
         cap_sh = cfg.shadow_sparse_cap if cfg.shadow_sparse_cap > 0 else None
         if cfg.enable_shadows and classify_cap > 0:
-            coarse = _tex.make_coarse_rows(
-                _tex.build_shadow_coarse(shadow_maps))
+            # the frame path's FULL classifier table set (coarse + fine)
+            coarse = F._build_classifier_tables(shadow_maps, cfg)
             cap_sh = classify_cap
         shadow_maps = _tex.make_shadow_rows(shadow_maps)   # frame-path form
         return shader(gbuf, scene, sd, shadow_maps,
@@ -187,6 +192,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
                        else False), shadow_sparse_cap=cap_sh,
                       shadow_coarse=coarse,
                       mr_nearest_mip=cfg.mr_nearest_mip,
+                      fused_mat_meta=cfg.fused_mat_meta,
                       shadow_quad_lit=cfg.shadow_fine_classify)
 
     if cfg.enable_shadows:
@@ -233,20 +239,21 @@ def profile_passes(scene, scene_data: dict, settings: dict,
         plan_t = plan_out.pop(0)
 
         def stage_transparent(scene, sd, settings, plan_t, padded,
-                              rows, vattr, vpos, depth, shadow_maps, color):
-            coarse = (_tex.make_coarse_rows(
-                _tex.build_shadow_coarse(shadow_maps))
-                if cfg.enable_shadows
-                and F._resolve_classify_cap(cfg) > 0 else None)
+                              rows, vattr, vpos, depth, shadow_maps, color,
+                              ptbl):
+            coarse = (F._build_classifier_tables(shadow_maps, cfg)
+                      if cfg.enable_shadows
+                      and F._resolve_classify_cap(cfg) > 0 else None)
             return F._transparent_pass(scene, sd, settings, cfg, plan_t,
                                        padded, rows, vattr, vpos, depth,
                                        _tex.make_shadow_rows(shadow_maps),
-                                       color, shadow_coarse=coarse)
+                                       color, shadow_coarse=coarse,
+                                       ptbl=ptbl)
 
         ms, (color, _, _sp2) = _timed(jax.jit(stage_transparent), scene,
                                 scene_data, settings, plan_t, padded,
                                 rows, vattr, vpos, depth, shadow_maps, color,
-                                iters=iters)
+                                ptbl, iters=iters)
         timings["transparent"] = ms
 
     # ---- stage: tonemap
