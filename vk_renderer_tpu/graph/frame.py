@@ -307,9 +307,12 @@ def _winner_alpha(scene, tid, rows, vattr, px=None, py=None, ptbl=None):
         (u, dudx, dudy), (v, dvdx, dvdy) = interp.derivs_from_corners(
             corners, (3, 4), weights)          # colorless layout: u v at 3,4
         aid = matvals[0].astype(jnp.int32)
+        # albedo meta rode the packed row — no per-pixel meta gather
+        f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        meta_a = tex.unpack_meta(f2i(matvals[7]), f2i(matvals[8]))
         (alpha,) = tex.sample_trilinear(scene.textures, aid, u, v,
                                         dudx, dvdx, dudy, dvdy,
-                                        channels=(3,))
+                                        channels=(3,), meta=meta_a)
         return alpha
     weights = interp.interpolation_weights_rows(tid, rows[0], rows[1],
                                                 px, py)
@@ -768,12 +771,24 @@ def build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos):
     returns None when the flag is off — bit-identical output either way."""
     if not (cfg.packed_rows and vpos is None):
         return None
+    # cols 7:11 — BOTH textures' meta descriptors (base offset + packed
+    # w0/h0/levels/srgb, texture.packed_meta_cols) ride the row too,
+    # bitcast i32->f32: the shade/alpha trilinears skip their per-pixel
+    # [T, 5] meta row-gathers entirely (docs/PERF.md "remaining fusion
+    # candidate" — the row is already 48 wide, these replace zero pads)
+    base_t, pack_t = tex.packed_meta_cols(scene.textures)
+    aid = scene.mat_tex_ids[:, 0]
+    mid = scene.mat_tex_ids[:, 2]
+    i2f = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.int32), jnp.float32)
     mat_rows = jnp.stack(
         [scene.mat_tex_ids[:, 0].astype(jnp.float32),
          scene.mat_tex_ids[:, 2].astype(jnp.float32),
          scene.mat_color_factors[:, 0], scene.mat_color_factors[:, 1],
          scene.mat_color_factors[:, 2], scene.mat_metal_rough[:, 0],
-         scene.mat_metal_rough[:, 1]], axis=-1)
+         scene.mat_metal_rough[:, 1],
+         i2f(base_t[aid]), i2f(pack_t[aid]),
+         i2f(base_t[mid]), i2f(pack_t[mid])], axis=-1)
     return interp.build_packed_rows(padded, tris_p, tri_mat_p, vattr,
                                     mat_rows)
 
@@ -815,7 +830,12 @@ def _build_gbuffer(scene, scene_data, tid, rows, vattr, vpos,
         weights, corners, matvals = interp.packed_weights_and_corners(
             ptbl, tid, px, py)
         (g["m_albedo_id"], g["m_mr_id"], g["m_cf_r"], g["m_cf_g"],
-         g["m_cf_b"], g["m_metal_f"], g["m_rough_f"]) = matvals
+         g["m_cf_b"], g["m_metal_f"], g["m_rough_f"]) = matvals[:7]
+        # texture meta rode the packed row (build_ptbl cols 7:11): the
+        # trilinears skip their per-pixel meta row-gathers
+        f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        g["m_meta_a"] = (f2i(matvals[7]), f2i(matvals[8]))
+        g["m_meta_m"] = (f2i(matvals[9]), f2i(matvals[10]))
     else:
         weights = interp.interpolation_weights_rows(tid, rows[0], rows[1],
                                                     px, py)

@@ -94,7 +94,9 @@ def build_packed_rows(setup_padded: dict, tris_p, tri_mat_p,
       11:19  corner-0 attribute row
       19:27  corner-1 attribute row
       27:35  corner-2 attribute row
-      35:35+K  material scalars (mat_rows[tri_mat]; K <= 8)
+      35:35+K  material scalars + texture meta (mat_rows[tri_mat];
+               K <= 13 — cols 7:11 are i32-bitcast texture descriptors,
+               see frame.build_ptbl)
       ..48   zero pad
 
     Built per frame from per-TRIANGLE gathers (3 vattr row-gathers + one
@@ -116,7 +118,7 @@ def build_packed_rows(setup_padded: dict, tris_p, tri_mat_p,
 
 
 def packed_weights_and_corners(ptbl: jax.Array, tri_id: jax.Array,
-                               px=None, py=None, n_mat: int = 7):
+                               px=None, py=None, n_mat: int = 11):
     """The packed-row counterpart of interpolation_weights_rows +
     gather_corners: one row-gather yields (weights, corners, matvals)."""
     sentinel = ptbl.shape[0] - 1

@@ -626,7 +626,11 @@ def shade_pbr(gbuf: dict, scene, scene_data: dict, shadow_maps,
     meta_a = meta_m = None
     if "m_albedo_id" in gbuf:
         # packed-row G-buffer (interp.build_packed_rows): the material
-        # scalars rode the per-triangle row — no per-pixel material gather
+        # scalars AND both textures' meta descriptors rode the
+        # per-triangle row — no per-pixel material or meta gathers
+        if "m_meta_a" in gbuf:
+            meta_a = tex.unpack_meta(*gbuf["m_meta_a"])
+            meta_m = tex.unpack_meta(*gbuf["m_meta_m"])
         albedo_id = gbuf["m_albedo_id"].astype(jnp.int32)
         mr_id = gbuf["m_mr_id"].astype(jnp.int32)
         cf_r, cf_g, cf_b = gbuf["m_cf_r"], gbuf["m_cf_g"], gbuf["m_cf_b"]
@@ -757,7 +761,10 @@ def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
     library and alpha handling."""
     del mr_nearest_mip   # no metallic-roughness texture in the flat path
     del fused_mat_meta   # one texture; the fused row targets the PBR path
+    meta_a = None
     if "m_albedo_id" in gbuf:
+        if "m_meta_a" in gbuf:
+            meta_a = tex.unpack_meta(*gbuf["m_meta_a"])
         albedo_id = gbuf["m_albedo_id"].astype(jnp.int32)
         cf_r, cf_g, cf_b = gbuf["m_cf_r"], gbuf["m_cf_g"], gbuf["m_cf_b"]
     else:
@@ -770,7 +777,8 @@ def shade_flat(gbuf: dict, scene, scene_data: dict, shadow_maps,
         cf_r, cf_g, cf_b = mrow[..., 1], mrow[..., 2], mrow[..., 3]
     at_r, at_g, at_b, at_a = tex.sample_trilinear(
         scene.textures, albedo_id, gbuf["u"], gbuf["v"],
-        gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"])
+        gbuf["dudx"], gbuf["dvdx"], gbuf["dudy"], gbuf["dvdy"],
+        meta=meta_a)
     col_r = gbuf["cr"] * at_r * cf_r
     col_g = gbuf["cg"] * at_g * cf_g
     col_b = gbuf["cb"] * at_b * cf_b
