@@ -91,6 +91,16 @@ class TextureHeapBuilder:
         # the descriptor table has MAX_MIPS slots; a >4096^2 texture's chain
         # must be clamped or build() would index past offsets[t, MAX_MIPS-1]
         mips = mips[:MAX_MIPS]
+        # base dimensions must fit the 13-bit packed-meta fields
+        # (ops/texture.packed_meta_cols packs w0/h0 as <= 8191); beyond that
+        # the packed-rows path would silently decode w0=0 and sample garbage
+        # while the narrow path stayed correct — reject loudly instead
+        h0, w0 = mips[0].shape[:2]
+        if w0 > 8191 or h0 > 8191:
+            raise ValueError(
+                f"texture {w0}x{h0} exceeds the 8191px packed-meta limit "
+                "(downscale at load; the reference's bindless era caps at "
+                "4096^2, vk_engine_init.cpp:226)")
         self._textures.append(mips)
         self._srgb.append(bool(srgb))
         return len(self._textures) - 1
@@ -150,6 +160,9 @@ class TextureHeapBuilder:
             for m in range(len(mips), MAX_MIPS):
                 offsets[t, m] = offsets[t, len(mips) - 1]
                 sizes[t, m] = sizes[t, len(mips) - 1]
+        # heap offsets ride i32 descriptor tables (and the packed rows
+        # bitcast them through f32 lanes): the quad-row cursor must fit
+        assert cursor < 2**31, "texture heap exceeds int32 addressing"
         texels = (np.concatenate(chunks) if chunks
                   else np.zeros((4,), dtype=np.uint32))
         return TextureTable(texels=texels, mip_offsets=offsets,
