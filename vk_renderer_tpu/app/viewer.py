@@ -68,6 +68,27 @@ def main(argv=None):
     cv2.namedWindow(win)
     cv2.setMouseCallback(win, on_mouse)
 
+    # Scene Lighting color editors — the ImGui ColorEdit3 panel analog
+    # (vk_engine_run.cpp:213-216 edits Sunlight Color / Ambient Color as
+    # RGB colors; the -/=/[/] intensity keys scale the same values).
+    # HighGUI's trackbars are this stack's color-edit widget: one 0..255
+    # slider per channel writing through to the traced UBO channels —
+    # never recompiles, exactly like the reference's instant panel.
+    def _color_cb(arr, ch, scale):
+        def cb(v):
+            arr[ch] = v / 255.0 * scale
+        return cb
+
+    for ch, name in enumerate("RGB"):
+        cv2.createTrackbar(f"sun {name}", win,
+                           int(np.clip(settings.sunlight_color[ch], 0, 4)
+                               / 4.0 * 255), 255,
+                           _color_cb(settings.sunlight_color, ch, 4.0))
+        cv2.createTrackbar(f"ambient {name}", win,
+                           int(np.clip(settings.ambient_color[ch], 0, 1)
+                               * 255), 255,
+                           _color_cb(settings.ambient_color, ch, 1.0))
+
     # ONE static config per RESOLUTION: the shadow subsystem is compiled
     # in once (enable_shadows=True) and the h / 1-4 / b / p keys flip
     # TRACED per-frame channels — no toggle ever triggers a re-jit
