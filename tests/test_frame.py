@@ -374,9 +374,14 @@ class TestKRasterAB:
         cam.yaw = np.pi / 2
         s = RenderSettings(enable_shadows=True, shadow_mode=3,
                            enable_postprocess=True)
+        # masked_tail_rounds=1: the continuation-round path (tile-gated
+        # re-raster with floor = deepest peeled layer) must equal the
+        # iterated peel sequence too — 2 + 2 accept layers total, with
+        # real pending pixels crossing the round boundary on this scene
         kw = dict(enable_shadows=True, cap_opaque=16384, cap_masked=512,
                   cap_transparent=256, raster_chunk=64, shadow_cap=16384,
-                  shadow_size=512, masked_peels=2, transparent_peels=2)
+                  shadow_size=512, masked_peels=2, transparent_peels=2,
+                  masked_tail_rounds=1, masked_tail_peels=2)
         out_k = driver.render(scene, cam, s, small_cfg(k_raster=True, **kw))
         out_i = driver.render(scene, cam, s, small_cfg(k_raster=False, **kw))
         np.testing.assert_array_equal(np.asarray(out_k["color_u8"]),

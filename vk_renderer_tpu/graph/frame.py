@@ -55,18 +55,28 @@ class FrameConfig:
     # winding fix made them visible).  Counts-clamp only on the TPU
     # packed path (records stay bounded by rec_opaque)
     cap_opaque: int = 16384
-    cap_masked: int = 512
+    # masked per-tile candidates: the replica's densest foliage tile
+    # holds 3070 at the bench camera (tools/diag_overflow.py
+    # masked_maxtile) — the old 512 dropped ~2.2k pairs per frame
+    cap_masked: int = 4096
     cap_transparent: int = 256
     raster_chunk: int = 16           # XLA-path chunking (Pallas is fixed 64)
     masked_chunk: int = 8
     transparent_peels: int = 2
-    # masked (alpha-cutoff) peel depth: the bench scene's foliage stacks
-    # up to 8 raw layers deep at the flagship camera, but acceptance
-    # (alpha >= 0.5) stops most chains — the acceptance-gated pending set
-    # is EMPTY after 6 peels (tools/diag_overflow.py masked_pend*:
-    # 379k/33k/3.9k/904/91/0), so 7 gives a full layer of margin while
-    # the tail peels ride the ~free tiny accept tier
-    masked_peels: int = 7
+    # masked (alpha-cutoff) peel depth: acceptance (alpha >= 0.5) stops
+    # most chains, and peels past the second ride the ~free tiny accept
+    # tier — but the REJECT chains can run deep: the procedural scene's
+    # pending set empties after 6 peels (tools/diag_overflow.py
+    # masked_pend*: 379k/33k/3.9k/904/91/0) while the Sponza replica's
+    # aligned thorn-bush row decays only ~1.8x per layer at the bench
+    # camera (475k/253k/147k/71k/.../2.0k after 10).  masked_peels
+    # bounds ROUND 0; deeper chains resolve in tile-gated CONTINUATION
+    # rounds over the same records (masked_tail_rounds x
+    # masked_tail_peels more accept layers at ~zero raster cost — only
+    # tiles still holding pending pixels re-raster)
+    masked_peels: int = 10
+    masked_tail_rounds: int = 3
+    masked_tail_peels: int = 6
     # occupancy-packed record caps (TPU path; auto-shrunk to scene size).
     # Record-build cost is proportional to the STATIC cap, and truncation
     # is counted in bin_overflow — sized ~5x above bench-scene occupancy.
@@ -178,13 +188,16 @@ class FrameConfig:
     # ties (tests/test_raster_pallas.py, tests/test_frame.py A/B).
     # False = the iterated per-peel rasters (A/B benching)
     k_raster: bool = True
-    # EXACT layout experiment (colorless scenes): pack every per-pixel
+    # DEFAULT path (VERDICT r3 #2b; colorless scenes — glTF COLOR_0
+    # defaults to 1 for Sponza-class assets): pack every per-pixel
     # interpolation input (edge planes, anchor, 3 corner attribute rows,
-    # material scalars) into one [T+1, 48] per-triangle row
-    # (interp.build_packed_rows) — one wide row-gather per pixel instead
-    # of ~6 narrow ones.  Whether wide rows win is measured
-    # (tools/bench_rowgather.py); bit-identical output either way
-    packed_rows: bool = False
+    # material scalars + both textures' meta) into one [T+1, 48]
+    # per-triangle row (interp.build_packed_rows) — one wide row-gather
+    # per pixel instead of ~6 narrow ones.  Bit-identical to the
+    # narrow-row path (tests/test_frame.py A/B; measured −240 ms at
+    # 1080p); scenes WITH vertex colors fall back to narrow rows
+    # automatically (build_ptbl returns None)
+    packed_rows: bool = True
 
 
 # Per-frame host state (GPUSceneData + toggles) rides to the device as ONE
@@ -229,14 +242,17 @@ def render_frame_packed(scene, frame_vec: jax.Array, cfg: FrameConfig):
 
 def _resolve_classify_cap(cfg: FrameConfig) -> int:
     """Uncertain-band capacity for classified shadow filtering: -1 = auto
-    (1/8 of the frame — the post-floor-fix bench camera measures ~5-16%
-    uncertain depending on classifier stages, see tools/measure_sparse.py
-    + docs/PERF.md; compact-list gather cost is CAP-proportional, so
-    oversizing wastes), 0 = off.  Beyond the cap a lax.cond falls back to
-    the dense filter — exact for every camera."""
+    (1/2 of the frame — soft-penumbra scenes like the Sponza replica
+    honestly measure ~36% uncertain at the bench camera, and any smaller
+    cap made them dense-fallback into a full-frame PCSS), 0 = off.  The
+    filter itself TIERS below this cap (cap/8, cap/2, cap — shade.
+    classified_shadow_factor, i.e. w*h/16, w*h/4, w*h/2), so hard-shadow
+    scenes with a ~1% band still pay only the smallest tier; beyond the
+    cap a lax.cond falls back to the dense filter — exact for every
+    camera."""
     if cfg.shadow_classify_cap >= 0:
         return cfg.shadow_classify_cap
-    return max(8192, (cfg.width * cfg.height) // 8)
+    return max(8192, (cfg.width * cfg.height) // 2)
 
 
 def _resolve_sky_cap(cfg: FrameConfig) -> int | None:
@@ -375,20 +391,29 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         alpha_d = _winner_alpha(scene, t2, rows, vattr, ptbl=ptbl)
         return (alpha_d >= 0.5).reshape(-1)
 
+    # mid tier between cap_small and cap: deep-peel pending sets on
+    # foliage-row cameras (the replica bench view looks down 9 aligned
+    # thorn bushes) measure 253k/147k at peels 2-3 — past cap_small
+    # (w*h/24 = 86k at 1080p) but nowhere near dense; without this tier
+    # those peels fell to the DENSE alpha eval (~240 ms each, the top of
+    # the masked stage's measured 807 ms)
+    cap_mid = min(cap, max(cap_small, (w * h) // 8))
+
     def tiered_accept(t2, n_found, peel_k: int):
         # PER-PEEL cap ladder: every lax.cond branch compiles its own
         # copy of the gather-heavy alpha eval, so each peel gets only the
         # tiers its measured coverage class can hit (first peel: the
         # bucket's full footprint; second: the first rejects, ~1/5 of it;
-        # later: the ~10x-per-peel tail) — fewer compiled branches AND a
-        # tighter cap than one shared ladder.  The dense eval remains the
-        # exact fallback on every peel; a miss is counted by the caller.
+        # later: the decaying reject tail) — fewer compiled branches AND
+        # a tighter cap than one shared ladder.  The dense eval remains
+        # the exact fallback on every peel; a miss is counted by the
+        # caller.
         if peel_k == 0:
             ladder = [cap, cap_huge]
         elif peel_k == 1:
-            ladder = [cap_tiny, cap_small, cap]
+            ladder = [cap_tiny, cap_small, cap_mid, cap]
         else:
-            ladder = [cap_tiny, cap_small]
+            ladder = [cap_tiny, cap_small, cap_mid]
         ladder = sorted(set(ladder))
 
         def build(i):
@@ -405,36 +430,72 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
                             build(0), t2)
 
     def ladder_max(peel_k: int) -> int:
-        return cap_huge if peel_k == 0 else (cap if peel_k == 1 else cap_small)
+        return cap_huge if peel_k == 0 else (cap if peel_k == 1 else cap_mid)
 
     fallback = jnp.int32(0)
+    total_peels = cfg.masked_peels + max(0, cfg.masked_tail_rounds) * \
+        cfg.masked_tail_peels
     if cfg.k_raster:
-        # ONE record pass yields peels+1 strict peel layers; the last is
-        # the honest-cap probe layer (VERDICT r1 #6).  Acceptance gating
-        # happens here in XLA-land: layer k's alpha runs only where every
-        # nearer layer was found-and-rejected — the exact domain the
-        # iterated peel-k raster would have found
-        layers = raster.rasterize_plan_k(
-            plan_m, padded, w, h, n_tris, cfg.masked_peels + 1, depth,
-            tile_w=cfg.tile_w, tile_h=cfg.tile_h, chunk=cfg.masked_chunk)
+        # CONTINUATION ROUNDS: round 0 keeps cfg.masked_peels strict peel
+        # layers from ONE record pass; pixels whose reject chains run
+        # deeper re-enter the SAME record stream in tile-gated tail
+        # rounds (counts zeroed for tiles with no pending pixel — the
+        # pending tail concentrates in a handful of foliage tiles, so a
+        # tail round rasters a few % of the records) with
+        # floor = the deepest already-peeled layer.  This resolves
+        # 20+-layer grazing stacks (the replica's aligned thorn-bush row)
+        # without one tall insertion stack whose per-fragment cost grows
+        # with k.  Acceptance gating happens here in XLA-land: layer k's
+        # alpha runs only where every nearer layer was
+        # found-and-rejected — the exact domain the iterated peel-k
+        # raster would have found.  The final round's extra layer is the
+        # honest-cap probe (VERDICT r1 #6).
+        rounds = 1 + max(0, cfg.masked_tail_rounds)
+        peel_plan = [cfg.masked_peels] + \
+            [cfg.masked_tail_peels] * (rounds - 1)
+        bound0 = depth
         pending = None
-        for k in range(cfg.masked_peels):
-            ld, lt = layers[k]
-            domain = (lt >= 0) if pending is None else pending & (lt >= 0)
-            t2 = jnp.where(domain, lt, -1)
-            n_found = jnp.sum(domain.astype(jnp.int32))
-            accept_flat = tiered_accept(t2, n_found, k)
-            fallback = fallback + jnp.maximum(n_found - ladder_max(k), 0)
-            accept = domain & accept_flat.reshape(h, w)
-            depth = jnp.where(accept, ld, depth)
-            tid = jnp.where(accept, lt, tid)
-            pending = domain & ~accept
+        deepest = jnp.zeros((h, w), jnp.float32)
+        peel_global = 0
+        rows_t = cdiv(h, cfg.tile_h)
+        cols_t = cdiv(w, cfg.tile_w)
+        for r, peels_r in enumerate(peel_plan):
+            last = r == rounds - 1
+            if r == 0:
+                plan_r, floor = plan_m, None
+            else:
+                pend_pad = jnp.pad(
+                    pending, ((0, rows_t * cfg.tile_h - h),
+                              (0, cols_t * cfg.tile_w - w)))
+                pend_tiles = pend_pad.reshape(
+                    rows_t, cfg.tile_h, cols_t, cfg.tile_w).any(axis=(1, 3))
+                plan_r = dict(plan_m)
+                plan_r["counts"] = jnp.where(pend_tiles, plan_m["counts"], 0)
+                floor = jnp.where(pending, deepest, 2.0)
+            layers = raster.rasterize_plan_k(
+                plan_r, padded, w, h, n_tris, peels_r + (1 if last else 0),
+                bound0, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                chunk=cfg.masked_chunk, floor_depth=floor)
+            for k in range(peels_r):
+                ld, lt = layers[k]
+                domain = (lt >= 0) if pending is None else pending & (lt >= 0)
+                t2 = jnp.where(domain, lt, -1)
+                n_found = jnp.sum(domain.astype(jnp.int32))
+                accept_flat = tiered_accept(t2, n_found, peel_global)
+                fallback = fallback + jnp.maximum(
+                    n_found - ladder_max(peel_global), 0)
+                accept = domain & accept_flat.reshape(h, w)
+                depth = jnp.where(accept, ld, depth)
+                tid = jnp.where(accept, lt, tid)
+                pending = domain & ~accept
+                deepest = jnp.where(domain, ld, deepest)
+                peel_global += 1
         peel_ovf = jnp.sum((pending & (layers[-1][1] >= 0))
                            .astype(jnp.int32))
         return depth, tid, peel_ovf, fallback
 
     floor = None
-    for k in range(cfg.masked_peels):
+    for k in range(total_peels):
         d2, t2 = raster.rasterize_plan(
             plan_m, padded, w, h, n_tris, tile_w=cfg.tile_w,
             tile_h=cfg.tile_h, chunk=cfg.masked_chunk, init_depth=depth,

@@ -135,12 +135,16 @@ def rasterize_plan(plan: dict, setup_padded: dict, width: int, height: int,
 
 def rasterize_plan_k(plan: dict, setup_padded: dict, width: int, height: int,
                      sentinel: int, k_layers: int, bound: jax.Array,
-                     tile_w: int = 128, tile_h: int = 32, chunk: int = 16):
+                     tile_w: int = 128, tile_h: int = 32, chunk: int = 16,
+                     floor_depth: jax.Array | None = None):
     """The first ``k_layers`` strict depth-peel layers over a prepared
     plan in ONE record pass (TPU k-buffer kernel) or ``k_layers``
     iterated peels (XLA reference path) — bit-identical by construction:
     layer k is the LESS_OR_EQUAL later-wins winner among fragments with
     z strictly behind layer k-1 and z <= ``bound`` (the opaque depth).
+    Optional ``floor_depth``: layer 0 additionally requires z strictly
+    > floor — the masked pass's CONTINUATION-ROUND form (floor = the
+    deepest already-peeled layer; 2.0 blanks resolved pixels).
 
     Returns a list of (depth, id) pairs, nearest first; (2.0, -1) where
     a layer is empty.  The masked/transparent passes consume peels+1
@@ -151,9 +155,10 @@ def rasterize_plan_k(plan: dict, setup_padded: dict, width: int, height: int,
         from .raster_pallas import rasterize_layers_packed
         return rasterize_layers_packed(
             plan["records"], plan["rec_start"], plan["counts"], bound,
-            width, height, sentinel, k_layers, tile_w=tile_w, tile_h=tile_h)
+            width, height, sentinel, k_layers, tile_w=tile_w, tile_h=tile_h,
+            floor_depth=floor_depth)
     layers = []
-    floor = None
+    floor = floor_depth
     no_id = jnp.full((height, width), -1, jnp.int32)
     for _ in range(k_layers):
         d, t = rasterize_depth(setup_padded, plan["bins"], width, height,

@@ -144,8 +144,9 @@ def _kernel(counts_ref, start_ref, fdata_hbm, initd_ref, initi_ref,
         )
 
 
-def _kernel_k(counts_ref, start_ref, fdata_hbm, bound_ref, *out_refs,
-              chunk, tile_w, tile_h, k_layers, sentinel):
+def _kernel_k(counts_ref, start_ref, fdata_hbm, bound_ref, floor_ref,
+              *out_refs, chunk, tile_w, tile_h, k_layers, sentinel,
+              has_floor):
     """K-layer depth-peel raster in ONE record pass (the k-buffer).
 
     Maintains the ``k_layers`` nearest fragments per pixel with STRICTLY
@@ -158,7 +159,12 @@ def _kernel_k(counts_ref, start_ref, fdata_hbm, bound_ref, *out_refs,
     tie behavior for free, as in ``_kernel``.
 
     Fragments are bounded above by ``bound_ref`` (z <= bound, LEQUAL vs
-    the opaque depth — the peel loops' ``init_depth``); layers start at
+    the opaque depth — the peel loops' ``init_depth``) and, with
+    ``has_floor``, strictly below by ``floor_ref`` (z > floor — the
+    CONTINUATION-round form: the masked pass re-enters the stream with
+    floor = the deepest already-peeled layer per pixel, so reject chains
+    deeper than one round's k_layers resolve across cheap tile-gated
+    rounds instead of one tall insertion stack); layers start at
     (2.0, sentinel) = empty.  Replaces peels+1 full raster passes (peel
     0, peel 1, overflow probe) with one record stream."""
     n_sub = tile_h // 8
@@ -232,6 +238,8 @@ def _kernel_k(counts_ref, start_ref, fdata_hbm, bound_ref, *out_refs,
                             cov &= (e0 + e1 + e2) > 0.0
                             cov &= z > mn                   # near clip
                             cov &= z <= bound_ref[rows_, :]  # LEQUAL bound
+                            if has_floor:   # continuation round: strict
+                                cov &= z > floor_ref[rows_, :]
                             zc = jnp.where(cov, z, 2.0)
 
                             ds = [out_refs[2 * j][rows_, :]
@@ -422,10 +430,13 @@ def rasterize_layers_packed(records: jax.Array, rec_start: jax.Array,
                             counts: jax.Array, bound: jax.Array, width: int,
                             height: int, sentinel: int, k_layers: int,
                             tile_w: int = 128, tile_h: int = 32,
-                            chunk: int = 64):
+                            chunk: int = 64,
+                            floor_depth: jax.Array | None = None):
     """K-layer peel raster over a packed record stream in ONE pass
     (see _kernel_k).  ``bound`` f32[H, W]: fragments must satisfy
-    z <= bound (LEQUAL vs the opaque depth).  Returns a list of
+    z <= bound (LEQUAL vs the opaque depth); optional ``floor_depth``
+    f32[H, W]: z > floor strictly (the continuation-round form — pass
+    2.0 at resolved pixels to blank them).  Returns a list of
     ``k_layers`` (depth f32[H, W], tri_id i32[H, W]) pairs, nearest
     first; depth 2.0 / id -1 where the layer is empty.  Layer k equals
     the k-th iterated strict depth peel over the same records —
@@ -436,18 +447,27 @@ def rasterize_layers_packed(records: jax.Array, rec_start: jax.Array,
     rows, cols = counts.shape
     n_tiles = rows * cols
     bound_t = _to_tiles(bound, rows, cols, tile_h, tile_w, 2.0)
+    has_floor = floor_depth is not None
+    if has_floor:
+        floor_t = _to_tiles(floor_depth, rows, cols, tile_h, tile_w, 2.0)
+    else:
+        floor_t = jnp.zeros((1, tile_h, tile_w), jnp.float32)
 
     tile_spec = pl.BlockSpec((None, tile_h, tile_w), lambda t, c, s: (t, 0, 0),
                              memory_space=pltpu.VMEM)
+    floor_spec = pl.BlockSpec((None, tile_h, tile_w),
+                              (lambda t, c, s: (t, 0, 0)) if has_floor
+                              else (lambda t, c, s: (0, 0, 0)),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY), tile_spec],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), tile_spec, floor_spec],
         out_specs=[tile_spec] * (2 * k_layers),
     )
     kernel = functools.partial(_kernel_k, chunk=chunk, tile_w=tile_w,
                                tile_h=tile_h, k_layers=k_layers,
-                               sentinel=sentinel)
+                               sentinel=sentinel, has_floor=has_floor)
     out_shapes = []
     for _ in range(k_layers):
         out_shapes.append(jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w),
@@ -460,7 +480,7 @@ def rasterize_layers_packed(records: jax.Array, rec_start: jax.Array,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(counts.reshape(-1), rec_start, records, bound_t)
+    )(counts.reshape(-1), rec_start, records, bound_t, floor_t)
 
     layers = []
     for k in range(k_layers):

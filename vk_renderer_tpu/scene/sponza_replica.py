@@ -333,16 +333,21 @@ def drape(center, w, h, nu, nv, seed, folds=5, sag=0.25):
 
 
 def foliage_cluster(center, n_quads, seed, size=(0.25, 0.55)):
-    """Crossed masked quads around a center — vase plants / thorn bushes."""
+    """Crossed masked quads around a center — vase plants / thorn bushes.
+    Quads scatter across the cluster's full footprint (real foliage is a
+    volume of leaves, not N planes through one axis — a tight cluster
+    would also stack 20+ alpha-reject layers on a single ray, far beyond
+    the real asset class's peel depth)."""
     rng = np.random.default_rng(seed)
     parts = []
+    spread = np.array([2.4, 0.8, 2.4]) * max(size)
     for _ in range(n_quads):
         ang = rng.uniform(0, np.pi)
         s = rng.uniform(*size)
         tilt = rng.uniform(-0.4, 0.4)
         d = np.array([np.cos(ang), tilt, np.sin(ang)]) * s
         up = np.array([0, 1.6 * s, 0])
-        off = rng.uniform(-0.25, 0.25, 3) * np.array([1, 0.6, 1])
+        off = rng.uniform(-0.5, 0.5, 3) * spread
         c = np.asarray(center, np.float64) + off
         parts.append(_grid(c - d / 2, d, up, 2, 3))
     return parts
@@ -744,7 +749,7 @@ def ensure_assets(root="assets/sponza_replica", tex_size=512, aux_size=256,
     (glb_path, ktx_path)."""
     glb = os.path.join(root, "Sponza.glb")
     ktx = os.path.join(root, "pisa_cube.ktx")
-    tag = os.path.join(root, f".v4_t{tex_size}_a{aux_size}_s{scale}")
+    tag = os.path.join(root, f".v5_t{tex_size}_a{aux_size}_s{scale}")
     if not (os.path.exists(glb) and os.path.exists(ktx)
             and os.path.exists(tag)):
         n_tris, n_tex = write_glb(glb, tex_size=tex_size, aux_size=aux_size,
