@@ -20,6 +20,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--scene", default="replica",
+                    choices=("replica", "procedural"))
     args = ap.parse_args()
 
     import jax
@@ -33,7 +35,16 @@ def main():
     from vk_renderer_tpu.scene import procedural
     from vk_renderer_tpu.scene.camera import Camera
 
-    scene = procedural.build_sponza_like().build().device_put()
+    if args.scene == "replica":
+        from vk_renderer_tpu.scene import ktx, sponza_replica
+        from vk_renderer_tpu.scene.assembly import SceneBuilder
+        glb, kx = sponza_replica.ensure_assets()
+        b = SceneBuilder()
+        b.load_gltf(glb, "sponza")
+        b.cubemap = ktx.load_cubemap(kx)
+        scene = b.build().device_put()
+    else:
+        scene = procedural.build_sponza_like().build().device_put()
     settings = RenderSettings(enable_shadows=True, shadow_mode=3,
                               enable_postprocess=True)
     cfg = driver.config_from_settings(settings, args.width, args.height)

@@ -312,11 +312,26 @@ def _frustum_planes(viewproj: jax.Array) -> jax.Array:
     return planes / jnp.linalg.norm(planes[:, :3], axis=1, keepdims=True)
 
 
-def _winner_alpha(scene, tid, rows, vattr, px=None, py=None, ptbl=None):
+def _winner_alpha(scene, tid, rows, vattr, px=None, py=None, ptbl=None,
+                  ptbl_a=None):
     """Trilinear albedo-alpha of the per-pixel winning triangle (the
     mesh_pbr.frag:192-193 discard operand).  Shape-agnostic: dense [H, W]
     or a sparse compact list with explicit ``px``/``py``.  With ``ptbl``
-    (packed rows), everything but the texels rides ONE row-gather."""
+    (packed rows), everything but the texels rides ONE row-gather; with
+    ``ptbl_a`` (the 24-wide alpha-row table, interp.build_alpha_rows)
+    that row-gather is half the transactions — the masked peel loop runs
+    ~2-3M of these per frame."""
+    if ptbl_a is not None:
+        weights, corners, meta_cols = interp.alpha_weights_and_uv(
+            ptbl_a, tid, px, py)
+        (u, dudx, dudy), (v, dvdx, dvdy) = interp.derivs_from_corners(
+            corners, (0, 1), weights)
+        f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+        meta_a = tex.unpack_meta(f2i(meta_cols[0]), f2i(meta_cols[1]))
+        (alpha,) = tex.sample_trilinear(scene.textures, None, u, v,
+                                        dudx, dvdx, dudy, dvdy,
+                                        channels=(3,), meta=meta_a)
+        return alpha
     if ptbl is not None:
         weights, corners, matvals = interp.packed_weights_and_corners(
             ptbl, tid, px, py)
@@ -342,7 +357,7 @@ def _winner_alpha(scene, tid, rows, vattr, px=None, py=None, ptbl=None):
 
 
 def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
-                 depth, tid, ptbl=None):
+                 depth, tid, ptbl=None, ptbl_a=None):
     """Alpha-cutoff bucket resolved by depth peeling: rasterize the
     nearest not-yet-rejected masked fragment, evaluate its trilinear albedo
     alpha densely (planar), accept (alpha >= 0.5, mesh_pbr.frag:193) or
@@ -382,13 +397,15 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     def accept_sparse(t2, cap):
         sel, _ = _compact_covered(t2, cap)
         selc, t2_s, px, py = _sparse_pixels(sel, t2, w)
-        alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py, ptbl)
+        alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py, ptbl,
+                                ptbl_a=ptbl_a)
         tgt = jnp.where(sel >= 0, sel, w * h)
         return jnp.zeros((w * h,), bool).at[tgt].set(
             alpha_s >= 0.5, mode="drop")
 
     def accept_dense(t2):
-        alpha_d = _winner_alpha(scene, t2, rows, vattr, ptbl=ptbl)
+        alpha_d = _winner_alpha(scene, t2, rows, vattr, ptbl=ptbl,
+                                ptbl_a=ptbl_a)
         return (alpha_d >= 0.5).reshape(-1)
 
     # mid tier between cap_small and cap: deep-peel pending sets on
@@ -657,6 +674,8 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     rows = interp.build_tri_rows(padded, tris_p, tri_mat_p)
     vattr, vpos = _build_vertex_rows(scene, world_pos, world_nrm)
     ptbl = build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos)
+    ptbl_a = (build_alpha_ptbl(scene, padded, tris_p, tri_mat_p, vattr)
+              if ptbl is not None and scene.n_masked > 0 else None)
 
     # ---- bin ONCE for every camera-view bucket (one pair sort; buckets
     # are contiguous tri-id ranges sliced out by binary search), then
@@ -700,7 +719,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
                                         cfg.tile_w, cfg.tile_h)
         depth, tid, peel_m, fb_m = _masked_pass(scene, cfg, plan_m, padded,
                                                 rows, vattr, depth, tid,
-                                                ptbl=ptbl)
+                                                ptbl=ptbl, ptbl_a=ptbl_a)
         overflow = overflow + plan_m["overflow"]
         peel_overflow = peel_overflow + peel_m
         fallback_px = fallback_px + fb_m   # exact (dense cond fallback)
@@ -852,6 +871,20 @@ def build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos):
          i2f(base_t[mid]), i2f(pack_t[mid])], axis=-1)
     return interp.build_packed_rows(padded, tris_p, tri_mat_p, vattr,
                                     mat_rows)
+
+
+def build_alpha_ptbl(scene, padded, tris_p, tri_mat_p, vattr):
+    """The masked alpha probe's 24-wide row table
+    (interp.build_alpha_rows): edges + anchor + uv corners + albedo meta
+    — half the 48-wide packed row's gather transactions for the peel
+    loop.  Colorless layout only (caller gates on ptbl existing)."""
+    base_t, pack_t = tex.packed_meta_cols(scene.textures)
+    aid = scene.mat_tex_ids[:, 0]
+    i2f = lambda x: jax.lax.bitcast_convert_type(
+        x.astype(jnp.int32), jnp.float32)
+    mat_alpha = jnp.stack([i2f(base_t[aid]), i2f(pack_t[aid])],
+                          axis=-1)[tri_mat_p]
+    return interp.build_alpha_rows(padded, tris_p, vattr, mat_alpha)
 
 
 def _build_vertex_rows(scene, world_pos, world_nrm):

@@ -87,9 +87,13 @@ def profile_passes(scene, scene_data: dict, settings: dict,
         vattr, vpos = F._build_vertex_rows(scene, world_pos, world_nrm)
         ptbl = F.build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr,
                             vpos)
+        ptbl_a = (F.build_alpha_ptbl(scene, padded, tris_p, tri_mat_p,
+                                     vattr)
+                  if ptbl is not None and scene.n_masked > 0 else None)
         return {"st": st, "padded": padded, "rows": rows, "vattr": vattr,
                 "vpos": vpos, "world_pos": world_pos,
-                "tri_visible": tri_visible, "ptbl": ptbl}
+                "tri_visible": tri_visible, "ptbl": ptbl,
+                "ptbl_a": ptbl_a}
 
     ms, setup_out = _timed(jax.jit(stage_setup), scene, scene_data,
                            iters=iters)
@@ -98,6 +102,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     padded = setup_out["padded"]
     rows, vattr, vpos = setup_out["rows"], setup_out["vattr"], setup_out["vpos"]
     ptbl = setup_out["ptbl"]
+    ptbl_a = setup_out["ptbl_a"]
 
     n_tris = scene.tris[0].shape[0]
     n_om = scene.n_opaque + scene.n_masked
@@ -153,13 +158,14 @@ def profile_passes(scene, scene_data: dict, settings: dict,
         plan_m = plan_out.pop(0)
 
         def stage_masked(scene, plan_m, padded, rows, vattr, depth, tid,
-                         ptbl):
+                         ptbl, ptbl_a):
             return F._masked_pass(scene, cfg, plan_m, padded, rows,
-                                  vattr, depth, tid, ptbl=ptbl)
+                                  vattr, depth, tid, ptbl=ptbl,
+                                  ptbl_a=ptbl_a)
 
         ms, (depth, tid, _, _sp) = _timed(jax.jit(stage_masked), scene, plan_m,
                                      padded, rows, vattr, depth, tid, ptbl,
-                                     iters=iters)
+                                     ptbl_a, iters=iters)
         timings["masked"] = ms
 
     # ---- stage: G-buffer interpolation

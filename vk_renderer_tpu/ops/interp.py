@@ -125,6 +125,60 @@ def build_packed_rows(setup_padded: dict, tris_p, tri_mat_p,
     return jnp.stack(cols, axis=-1)
 
 
+ALPHA_COLS = 24                       # 3 x 8-lane registers
+
+
+def build_alpha_rows(setup_padded: dict, tris_p, vattr: jax.Array,
+                     mat_alpha: jax.Array) -> jax.Array:
+    """[T+1, 24] per-triangle rows carrying ONLY what the masked alpha
+    probe needs (frame._winner_alpha): edge planes, anchor, the three
+    corners' (u, v), and the albedo texture's meta descriptor — half the
+    48-wide packed row's gather transactions for the peel loop's
+    ~2-3M alpha evaluations per frame.
+
+    cols 0:9 edges | 9:11 anchor | 11:17 uv0 uv1 uv2 | 17:19 meta_a
+    (i32 base/pack bitcast into f32 lanes — bit-preserving moves only,
+    see build_packed_rows' HAZARD note) | 19:24 zero pad.
+
+    ``vattr`` must be the colorless 8-wide layout (u, v at cols 3, 4);
+    ``mat_alpha``: [M, 2] i32-bitcast albedo meta columns."""
+    e = setup_padded["edge"]
+    anc = setup_padded["anchor"]
+    cols = [e[i] for i in range(9)] + [anc[0], anc[1]]
+    for k in range(3):
+        ck = vattr[tris_p[k]]
+        cols += [ck[:, 3], ck[:, 4]]
+    cols += [mat_alpha[:, 0], mat_alpha[:, 1]]
+    zero = jnp.zeros_like(e[0])
+    cols += [zero] * (ALPHA_COLS - len(cols))
+    return jnp.stack(cols, axis=-1)
+
+
+def alpha_weights_and_uv(ptbl_a: jax.Array, tri_id: jax.Array, px, py):
+    """packed_weights_and_corners' alpha-row counterpart: one 24-wide
+    row-gather yields (weights, uv corner pairs, meta cols)."""
+    sentinel = ptbl_a.shape[0] - 1
+    ids = jnp.where(tri_id < 0, sentinel, tri_id)
+    r = ptbl_a[ids]
+    if px is None:
+        h, w = tri_id.shape
+        px, py = pixel_centers(h, w)
+    pxa = px - r[..., 9]
+    pya = py - r[..., 10]
+    a = (r[..., 0], r[..., 3], r[..., 6])
+    b = (r[..., 1], r[..., 4], r[..., 7])
+    c = (r[..., 2], r[..., 5], r[..., 8])
+    e = tuple(a[i] * pxa + b[i] * pya + c[i] for i in range(3))
+    esum = e[0] + e[1] + e[2]
+    esafe = jnp.where(esum != 0.0, esum, 1.0)
+    inv = 1.0 / esafe
+    lam = tuple(ei * inv for ei in e)
+    weights = {"lam": lam, "a": a, "b": b, "esum": esafe, "inv_esum": inv,
+               "ids": ids}
+    corners = (r[..., 11:13], r[..., 13:15], r[..., 15:17])
+    return weights, corners, (r[..., 17], r[..., 18])
+
+
 def packed_weights_and_corners(ptbl: jax.Array, tri_id: jax.Array,
                                px=None, py=None, n_mat: int = 11):
     """The packed-row counterpart of interpolation_weights_rows +
