@@ -77,6 +77,11 @@ class FrameConfig:
     masked_peels: int = 10
     masked_tail_rounds: int = 3
     masked_tail_peels: int = 6
+    # tail rounds run the peel kernel over a COMPACTED pending-tile grid
+    # of this many programs (the full 510-tile grid's per-program
+    # overhead made even a fully-gated round cost ~120 ms); beyond the
+    # cap a lax.cond falls back to the gated full grid — exact either way
+    masked_tail_tile_cap: int = 64
     # occupancy-packed record caps (TPU path; auto-shrunk to scene size).
     # Record-build cost is proportional to the STATIC cap, and truncation
     # is counted in bin_overflow — sized ~5x above bench-scene occupancy.
@@ -471,44 +476,102 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         peel_plan = [cfg.masked_peels] + \
             [cfg.masked_tail_peels] * (rounds - 1)
         bound0 = depth
-        pending = None
-        deepest = jnp.zeros((h, w), jnp.float32)
-        peel_global = 0
         rows_t = cdiv(h, cfg.tile_h)
         cols_t = cdiv(w, cfg.tile_w)
-        for r, peels_r in enumerate(peel_plan):
-            last = r == rounds - 1
-            if r == 0:
-                plan_r, floor = plan_m, None
-            else:
-                pend_pad = jnp.pad(
-                    pending, ((0, rows_t * cfg.tile_h - h),
-                              (0, cols_t * cfg.tile_w - w)))
-                pend_tiles = pend_pad.reshape(
-                    rows_t, cfg.tile_h, cols_t, cfg.tile_w).any(axis=(1, 3))
-                plan_r = dict(plan_m)
-                plan_r["counts"] = jnp.where(pend_tiles, plan_m["counts"], 0)
-                floor = jnp.where(pending, deepest, 2.0)
-            layers = raster.rasterize_plan_k(
-                plan_r, padded, w, h, n_tris, peels_r + (1 if last else 0),
-                bound0, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-                chunk=cfg.masked_chunk, floor_depth=floor)
+
+        def accept_layers(layers, peels_r, base_peel, carry, probe):
+            depth, tid, pending, deepest, fallback = carry
             for k in range(peels_r):
                 ld, lt = layers[k]
-                domain = (lt >= 0) if pending is None else pending & (lt >= 0)
+                domain = pending & (lt >= 0)
                 t2 = jnp.where(domain, lt, -1)
                 n_found = jnp.sum(domain.astype(jnp.int32))
-                accept_flat = tiered_accept(t2, n_found, peel_global)
+                accept_flat = tiered_accept(t2, n_found, base_peel + k)
                 fallback = fallback + jnp.maximum(
-                    n_found - ladder_max(peel_global), 0)
+                    n_found - ladder_max(base_peel + k), 0)
                 accept = domain & accept_flat.reshape(h, w)
                 depth = jnp.where(accept, ld, depth)
                 tid = jnp.where(accept, lt, tid)
                 pending = domain & ~accept
                 deepest = jnp.where(domain, ld, deepest)
-                peel_global += 1
-        peel_ovf = jnp.sum((pending & (layers[-1][1] >= 0))
-                           .astype(jnp.int32))
+            if probe:
+                p = jnp.sum((pending & (layers[-1][1] >= 0))
+                            .astype(jnp.int32))
+            else:
+                p = jnp.int32(0)
+            return (depth, tid, pending, deepest, fallback), p
+
+        # round 0: always runs, over the full record stream
+        last0 = rounds == 1
+        layers = raster.rasterize_plan_k(
+            plan_m, padded, w, h, n_tris, peel_plan[0] + (1 if last0 else 0),
+            bound0, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+            chunk=cfg.masked_chunk)
+        carry = (depth, tid, jnp.ones((h, w), bool),
+                 jnp.zeros((h, w), jnp.float32), fallback)
+        carry, peel_ovf = accept_layers(layers, peel_plan[0], 0, carry,
+                                        probe=last0)
+
+        # tail rounds: SKIPPED by lax.cond when nothing is pending (the
+        # common case once chains resolve) — a run round re-enters the
+        # record stream tile-gated (counts zeroed where no pixel pends)
+        base = peel_plan[0]
+        for r in range(1, rounds):
+            peels_r = peel_plan[r]
+            last = r == rounds - 1
+
+            def run_round(carry, peels_r=peels_r, last=last, base=base):
+                depth, tid, pending, deepest, fallback = carry
+                pend_pad = jnp.pad(
+                    pending, ((0, rows_t * cfg.tile_h - h),
+                              (0, cols_t * cfg.tile_w - w)))
+                pend_tiles = pend_pad.reshape(
+                    rows_t, cfg.tile_h, cols_t, cfg.tile_w).any(axis=(1, 3))
+                floor = jnp.where(pending, deepest, 2.0)
+                k_r = peels_r + (1 if last else 0)
+
+                def full_grid(args):
+                    floor, _ = args
+                    plan_r = dict(plan_m)
+                    plan_r["counts"] = jnp.where(pend_tiles,
+                                                 plan_m["counts"], 0)
+                    return raster.rasterize_plan_k(
+                        plan_r, padded, w, h, n_tris, k_r, bound0,
+                        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
+                        chunk=cfg.masked_chunk, floor_depth=floor)
+
+                if "records" in plan_m:
+                    # compact-tile round: the pending set concentrates
+                    # in a few tiles — run the kernel grid over ONLY
+                    # those (the full grid's per-tile program overhead
+                    # made a gated round cost ~120 ms at 1080p); exact
+                    # full-grid fallback when they exceed the cap
+                    from ..ops.common import compact_mask
+                    n_pt = jnp.sum(pend_tiles.astype(jnp.int32))
+                    tsel, _ = compact_mask(pend_tiles.reshape(-1),
+                                           cfg.masked_tail_tile_cap)
+
+                    def subset(args):
+                        floor, tsel = args
+                        return raster.rasterize_plan_k_subset(
+                            plan_m, w, h, n_tris, k_r, bound0, floor,
+                            tsel, tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+
+                    layers = jax.lax.cond(
+                        n_pt <= cfg.masked_tail_tile_cap, subset,
+                        full_grid, (floor, tsel))
+                else:
+                    layers = full_grid((floor, None))
+                return accept_layers(layers, peels_r, base, carry,
+                                     probe=last)
+
+            n_pend = jnp.sum(carry[2].astype(jnp.int32))
+            carry, p_r = jax.lax.cond(
+                n_pend > 0, run_round,
+                lambda c: (c, jnp.int32(0)), carry)
+            peel_ovf = peel_ovf + p_r
+            base += peels_r
+        depth, tid, _pending, _deepest, fallback = carry
         return depth, tid, peel_ovf, fallback
 
     floor = None
@@ -653,6 +716,20 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     visible = rsetup.cull_objects(scene.obj_world, scene.obj_bounds, planes)
     tri_obj = jnp.take(scene.vert_obj, scene.tris[0])
     tri_visible = jnp.take(visible, tri_obj)
+    # never-pass masked triangles (sorted to the masked range's tail,
+    # scene.n_masked_raster) are invisible to the camera: their alpha
+    # test provably never passes (textures.tri_alpha_bounds), so they
+    # only ever produce rejected peel layers.  Exclude them from the
+    # camera setup — the frame stats keep counting them (the reference
+    # submits them too, vk_engine_run.cpp:309), and the shadow pass
+    # keeps rastering them (no fragment stage there).
+    n_mvis = scene.n_masked_vis
+    tri_visible_cam = tri_visible
+    if n_mvis < scene.n_masked:
+        ids = jnp.arange(n_tris, dtype=jnp.int32)
+        never = (ids >= scene.n_opaque + n_mvis) & \
+            (ids < scene.n_opaque + scene.n_masked)
+        tri_visible_cam = tri_visible & ~never
 
     # ---- vertex stage (mesh.vert)
     world_pos, clip = rsetup.transform_vertices(
@@ -665,7 +742,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     stats_drawcalls = jnp.sum(visible.astype(jnp.int32))
 
     # ---- geometry raster: opaque bucket then masked bucket
-    st = rsetup.triangle_setup(clip, scene.tris, tri_visible, w, h,
+    st = rsetup.triangle_setup(clip, scene.tris, tri_visible_cam, w, h,
                                cull=rsetup.CULL_BACK)
     padded = raster.pad_setup(st)
     zero_i = jnp.zeros((1,), jnp.int32)
@@ -685,7 +762,9 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     caps = [cfg.cap_opaque]
     rec_caps = [cfg.rec_opaque]
     if scene.n_masked > 0:
-        bounds.append((scene.n_opaque, n_om))
+        # bucket covers only the can-pass masked range (never-pass tris
+        # are camera-invalid and sorted past n_masked_vis)
+        bounds.append((scene.n_opaque, scene.n_opaque + max(n_mvis, 1)))
         caps.append(cfg.cap_masked)
         rec_caps.append(cfg.rec_masked)
     if scene.n_transparent > 0:

@@ -153,9 +153,19 @@ def profile_passes(scene, scene_data: dict, settings: dict,
                               iters=iters)
     timings["raster_opaque"] = ms
 
-    # ---- stage: masked (alpha-cutoff) pass
+    # ---- stage: masked (alpha-cutoff) pass (+ sub-stage decomposition)
     if scene.n_masked > 0:
         plan_m = plan_out.pop(0)
+
+        def stage_masked_kraster(plan_m, padded, depth):
+            return raster.rasterize_plan_k(
+                plan_m, padded, w, h, scene.tris[0].shape[0],
+                cfg.masked_peels, depth, tile_w=cfg.tile_w,
+                tile_h=cfg.tile_h, chunk=cfg.masked_chunk)
+
+        ms, _layers = _timed(jax.jit(stage_masked_kraster), plan_m, padded,
+                             depth, iters=iters)
+        timings["masked_kraster0"] = ms
 
         def stage_masked(scene, plan_m, padded, rows, vattr, depth, tid,
                          ptbl, ptbl_a):

@@ -172,6 +172,45 @@ def rasterize_plan_k(plan: dict, setup_padded: dict, width: int, height: int,
     return layers
 
 
+def rasterize_plan_k_subset(plan: dict, width: int, height: int,
+                            sentinel: int, k_layers: int, bound: jax.Array,
+                            floor_depth: jax.Array, tile_sel: jax.Array,
+                            tile_w: int = 128, tile_h: int = 32):
+    """K-layer peel over ONLY the tiles listed in ``tile_sel`` ([TCAP]
+    flat tile indices, -1 padding) — the masked tail rounds' form: the
+    pending set concentrates in a handful of tiles, and the full-grid
+    kernel's per-tile program overhead dominated gated rounds.  Tiles
+    not selected return empty layers (2.0 / -1).  Records path only
+    (callers lax.cond to rasterize_plan_k otherwise)."""
+    from .raster_pallas import (_from_tiles, _to_tiles,
+                                rasterize_layers_grid)
+    counts = plan["counts"]
+    rows, cols = counts.shape
+    n_tiles = rows * cols
+    tcap = tile_sel.shape[0]
+    selc = jnp.clip(tile_sel, 0, n_tiles - 1)
+    ok = tile_sel >= 0
+    counts_c = jnp.where(ok, jnp.take(counts.reshape(-1), selc), 0)
+    start_c = jnp.take(plan["rec_start"], selc)
+    bound_t = _to_tiles(bound, rows, cols, tile_h, tile_w, 2.0)
+    floor_t = _to_tiles(floor_depth, rows, cols, tile_h, tile_w, 2.0)
+    outs = rasterize_layers_grid(
+        plan["records"], start_c, counts_c, bound_t[selc], floor_t[selc],
+        sentinel, k_layers, tile_w=tile_w, tile_h=tile_h)
+    tgt = jnp.where(ok, tile_sel, n_tiles)
+    layers = []
+    for k in range(k_layers):
+        d_full = jnp.full((n_tiles, tile_h, tile_w), 2.0, jnp.float32
+                          ).at[tgt].set(outs[2 * k], mode="drop")
+        i_full = jnp.full((n_tiles, tile_h, tile_w), sentinel, jnp.int32
+                          ).at[tgt].set(outs[2 * k + 1], mode="drop")
+        d = _from_tiles(d_full.reshape(rows, cols, tile_h, tile_w))
+        i = _from_tiles(i_full.reshape(rows, cols, tile_h, tile_w))
+        i = jnp.where(i == sentinel, -1, i)
+        layers.append((d[:height, :width], i[:height, :width]))
+    return layers
+
+
 def pad_setup(setup: dict) -> dict:
     """Append the all-zero sentinel entry so bin-slot gathers at id==T are
     harmless (zero edges fail coverage everywhere).  Planar in/out."""

@@ -445,12 +445,44 @@ def rasterize_layers_packed(records: jax.Array, rec_start: jax.Array,
     assert (chunk * F_FIELDS) % 1024 == 0, \
         "chunk records must be whole (8,128) tiles (chunk multiple of 64)"
     rows, cols = counts.shape
-    n_tiles = rows * cols
     bound_t = _to_tiles(bound, rows, cols, tile_h, tile_w, 2.0)
     has_floor = floor_depth is not None
     if has_floor:
         floor_t = _to_tiles(floor_depth, rows, cols, tile_h, tile_w, 2.0)
     else:
+        floor_t = None
+    outs = rasterize_layers_grid(records, rec_start, counts.reshape(-1),
+                                 bound_t, floor_t, sentinel, k_layers,
+                                 tile_w=tile_w, tile_h=tile_h, chunk=chunk)
+    layers = []
+    for k in range(k_layers):
+        d = _from_tiles(outs[2 * k].reshape(rows, cols, tile_h, tile_w))
+        i = _from_tiles(outs[2 * k + 1].reshape(rows, cols, tile_h, tile_w))
+        i = jnp.where(i == sentinel, -1, i)
+        layers.append((d[:height, :width], i[:height, :width]))
+    return layers
+
+
+@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h", "chunk",
+                                             "sentinel", "k_layers"))
+def rasterize_layers_grid(records: jax.Array, rec_start: jax.Array,
+                          counts: jax.Array, bound_t: jax.Array,
+                          floor_t: jax.Array | None, sentinel: int,
+                          k_layers: int, tile_w: int = 128,
+                          tile_h: int = 32, chunk: int = 64):
+    """The k-layer peel kernel over an EXPLICIT tile grid: ``counts`` /
+    ``rec_start`` [G] and ``bound_t`` (``floor_t``) [G, th, tw] — G need
+    not be the full framebuffer grid.  The masked pass's tail rounds
+    compact the (few) tiles still holding pending pixels into a small G
+    (the kernel's per-tile program overhead dominated tile-gated rounds:
+    zeroed counts still paid the full-grid program launches +
+    layer-output writes).  Records' tile-folded coefficients are
+    slot-independent (pixel coords are tile-local), so running tile t in
+    any slot j only requires rec_start[j]/counts[j]/bound_t[j] to be
+    tile t's.  Returns the raw [G, th, tw] layer pairs, interleaved."""
+    n_tiles = counts.shape[0]
+    has_floor = floor_t is not None
+    if not has_floor:
         floor_t = jnp.zeros((1, tile_h, tile_w), jnp.float32)
 
     tile_spec = pl.BlockSpec((None, tile_h, tile_w), lambda t, c, s: (t, 0, 0),
@@ -474,21 +506,13 @@ def rasterize_layers_packed(records: jax.Array, rec_start: jax.Array,
                                                jnp.float32))
         out_shapes.append(jax.ShapeDtypeStruct((n_tiles, tile_h, tile_w),
                                                jnp.int32))
-    outs = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
-    )(counts.reshape(-1), rec_start, records, bound_t, floor_t)
-
-    layers = []
-    for k in range(k_layers):
-        d = _from_tiles(outs[2 * k].reshape(rows, cols, tile_h, tile_w))
-        i = _from_tiles(outs[2 * k + 1].reshape(rows, cols, tile_h, tile_w))
-        i = jnp.where(i == sentinel, -1, i)
-        layers.append((d[:height, :width], i[:height, :width]))
-    return layers
+    )(counts, rec_start, records, bound_t, floor_t)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "tile_w",

@@ -295,15 +295,47 @@ class SceneBuilder:
 
         n_obj = max(len(objects), 1)
         mats = self.materials
+        uvs_a = np.concatenate(uvs) if uvs else np.zeros((0, 2), np.float32)
+        tris_a = np.concatenate(tris) if tris else np.zeros((0, 3), np.int32)
+        mats_a = (np.concatenate(tri_material) if tri_material
+                  else np.zeros(0, np.int32))
+
+        # classify masked triangles by conservative sampled-alpha bounds
+        # (textures.tri_alpha_bounds): never-pass triangles (amax < 0.5 —
+        # the transparent regions of foliage atlases) sort to the END of
+        # the masked range and are excluded from the camera's masked
+        # bucket; they still cast shadows (the reference's shadow pass
+        # has no fragment stage, vk_engine_init.cpp:434-456).  This both
+        # thins the masked records and truncates the deep alpha-reject
+        # peel chains at their source.
+        n_masked_raster = counts[1]
+        if counts[1] > 0:
+            from .textures import tri_alpha_bounds
+            lo, hi = counts[0], counts[0] + counts[1]
+            mt = tris_a[lo:hi]
+            mm = mats_a[lo:hi]
+            tex_of = np.array([m.albedo_id for m in mats], np.int64)[mm]
+            cfa_of = np.array([float(m.color_factors[3]) for m in mats],
+                              np.float32)[mm]
+            cu = uvs_a[mt.reshape(-1), 0].reshape(-1, 3)
+            cv = uvs_a[mt.reshape(-1), 1].reshape(-1, 3)
+            _, amax = tri_alpha_bounds(self.heap, tex_of, cfa_of, cu, cv)
+            never = amax < 0.5
+            order = np.argsort(never, kind="stable")   # can-pass first
+            tris_a[lo:hi] = mt[order]
+            mats_a[lo:hi] = mm[order]
+            n_masked_raster = int(np.count_nonzero(~never))
+
         scene = SceneArrays(
             positions=np.concatenate(positions) if positions else np.zeros((0, 3), np.float32),
             normals=np.concatenate(normals) if normals else np.zeros((0, 3), np.float32),
-            uvs=np.concatenate(uvs) if uvs else np.zeros((0, 2), np.float32),
+            uvs=uvs_a,
             colors=np.concatenate(colors) if colors else np.zeros((0, 4), np.float32),
             vert_obj=np.concatenate(vert_obj) if vert_obj else np.zeros(0, np.int32),
-            tris=np.concatenate(tris) if tris else np.zeros((0, 3), np.int32),
-            tri_material=np.concatenate(tri_material) if tri_material else np.zeros(0, np.int32),
+            tris=tris_a,
+            tri_material=mats_a,
             n_opaque=counts[0], n_masked=counts[1], n_transparent=counts[2],
+            n_masked_raster=n_masked_raster,
             obj_world=(np.stack(obj_world) if obj_world
                        else np.eye(4, dtype=np.float32)[None]),
             obj_bounds=(np.stack(obj_bounds).astype(np.float32) if obj_bounds

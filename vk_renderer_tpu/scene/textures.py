@@ -170,6 +170,108 @@ class TextureHeapBuilder:
                             srgb_flags=srgb_flags)
 
 
+def _minmax_pyramids(a: np.ndarray):
+    """2x2 min/max pyramids of a 2-D array (edge-padded to even sizes —
+    valid for IN-RANGE rect queries; wrap-crossing queries fall back to
+    the global bounds in tri_alpha_bounds)."""
+    pmins, pmaxs = [a], [a]
+    while pmins[-1].shape[0] > 1 or pmins[-1].shape[1] > 1:
+        p_min, p_max = pmins[-1], pmaxs[-1]
+        hh, ww = p_min.shape
+        if hh % 2 or ww % 2:
+            p_min = np.pad(p_min, ((0, hh % 2), (0, ww % 2)), mode="edge")
+            p_max = np.pad(p_max, ((0, hh % 2), (0, ww % 2)), mode="edge")
+        s = p_min.shape
+        pmins.append(p_min.reshape(s[0] // 2, 2, s[1] // 2, 2).min((1, 3)))
+        pmaxs.append(p_max.reshape(s[0] // 2, 2, s[1] // 2, 2).max((1, 3)))
+    return pmins, pmaxs
+
+
+def _rect_minmax(pmins, pmaxs, h, w, x0, x1, y0, y1):
+    """Vectorized conservative min/max of a[y0:y1, x0:x1] (texel-index
+    rects, exclusive upper) via the pyramids: query the level where the
+    rect spans <= 2 cells per axis (<= 4 gathers).  Rects that wrap the
+    REPEAT boundary or cover an axis fall back to the global bounds."""
+    n = x0.shape[0]
+    spanx = x1 - x0
+    spany = y1 - y0
+    gmin = np.float32(pmins[-1].reshape(-1)[0])
+    gmax = np.float32(pmaxs[-1].reshape(-1)[0])
+    whole = (spanx >= w) | (spany >= h)
+    x0m = np.mod(x0, w)
+    y0m = np.mod(y0, h)
+    whole |= (x0m + spanx > w) | (y0m + spany > h)
+    span = np.maximum(np.maximum(spanx, spany), 1)
+    q = np.clip(np.ceil(np.log2(span)).astype(np.int64), 0,
+                len(pmins) - 1)
+    lo = np.full(n, gmin, np.float32)
+    hi = np.full(n, gmax, np.float32)
+    for ql in np.unique(q[~whole]):
+        sel = (~whole) & (q == ql)
+        pm, px = pmins[ql], pmaxs[ql]
+        ph, pw = pm.shape
+        i0 = np.clip(x0m[sel] >> ql, 0, pw - 1)
+        i1 = np.clip((x0m[sel] + spanx[sel] - 1) >> ql, 0, pw - 1)
+        j0 = np.clip(y0m[sel] >> ql, 0, ph - 1)
+        j1 = np.clip((y0m[sel] + spany[sel] - 1) >> ql, 0, ph - 1)
+        lo[sel] = np.minimum(np.minimum(pm[j0, i0], pm[j0, i1]),
+                             np.minimum(pm[j1, i0], pm[j1, i1]))
+        hi[sel] = np.maximum(np.maximum(px[j0, i0], px[j0, i1]),
+                             np.maximum(px[j1, i0], px[j1, i1]))
+    return lo, hi
+
+
+def tri_alpha_bounds(heap: TextureHeapBuilder, tex_ids: np.ndarray,
+                     cf_a: np.ndarray, u: np.ndarray, v: np.ndarray):
+    """Conservative per-triangle bounds [amin, amax] of the alpha the
+    fragment stage can sample (mesh_pbr.frag:192-194: colorFactors.a *
+    trilinear albedo alpha; vertex color alpha is 1 on colorless
+    scenes): every trilinear tap inside the triangle reads texels within
+    the triangle's uv bbox expanded by the bilinear footprint (1.5
+    texels at the sampled level; any mip level may be sampled, so bounds
+    fold min/max across ALL levels), and the lerp of two levels stays
+    within their joint bounds.  Quantization of the stored u8 texels
+    adds <= 1/255 — folded into the bounds margins.
+
+    Used to classify masked triangles (frame masked pass):
+    amax < 0.5  => the alpha test can NEVER pass (the triangle is
+    invisible to the camera: exclude it from the masked raster bucket —
+    it still casts shadows, the reference's shadow pass has no fragment
+    stage);  amin >= 0.5 => always passes.
+
+    u/v: [T, 3] per-corner uv.  Returns (amin, amax) f32[T]."""
+    t_count = tex_ids.shape[0]
+    amin = np.zeros(t_count, np.float32)
+    amax = np.ones(t_count, np.float32)
+    umin, umax = u.min(axis=1), u.max(axis=1)
+    vmin, vmax = v.min(axis=1), v.max(axis=1)
+    finite = (np.isfinite(umin) & np.isfinite(umax)
+              & np.isfinite(vmin) & np.isfinite(vmax))
+    q_margin = np.float32(1.0 / 255.0)
+    for t in np.unique(tex_ids):
+        sel = (tex_ids == t) & finite
+        if not sel.any():
+            continue
+        lo = np.full(int(sel.sum()), np.inf, np.float32)
+        hi = np.full(int(sel.sum()), -np.inf, np.float32)
+        for img in heap._textures[t]:
+            h_l, w_l = img.shape[:2]
+            aq = np.round(np.clip(img[..., 3], 0.0, 1.0) * 255.0) / \
+                np.float32(255.0)
+            pmins, pmaxs = _minmax_pyramids(aq.astype(np.float32))
+            x0 = np.floor(umin[sel] * w_l - 1.5).astype(np.int64)
+            x1 = np.ceil(umax[sel] * w_l + 1.5).astype(np.int64)
+            y0 = np.floor(vmin[sel] * h_l - 1.5).astype(np.int64)
+            y1 = np.ceil(vmax[sel] * h_l + 1.5).astype(np.int64)
+            l_lo, l_hi = _rect_minmax(pmins, pmaxs, h_l, w_l,
+                                      x0, x1, y0, y1)
+            lo = np.minimum(lo, l_lo)
+            hi = np.maximum(hi, l_hi)
+        amin[sel] = np.maximum(lo - q_margin, 0.0) * cf_a[sel]
+        amax[sel] = (hi + q_margin) * cf_a[sel]
+    return amin, amax
+
+
 def make_default_heap() -> tuple[TextureHeapBuilder, dict[str, int]]:
     """Create the heap pre-populated with the reference's default slots
     (vk_engine_init.cpp:318-355, including the slot-0 overwrite quirk) plus

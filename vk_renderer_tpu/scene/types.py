@@ -88,6 +88,20 @@ class SceneArrays:
     # corner costs one gather instead of three channel gathers)
     cubemap: np.ndarray = None
 
+    # static: count of masked triangles whose alpha test CAN pass
+    # (textures.tri_alpha_bounds amax >= 0.5).  The masked range is
+    # sorted [can-pass.. | never-pass..]; never-pass triangles are
+    # invisible to the camera raster (excluded from the masked bucket)
+    # but still cast shadows (the reference's shadow pass has no
+    # fragment stage).  -1 = unclassified (treat all as can-pass)
+    n_masked_raster: int = -1
+
+    @property
+    def n_masked_vis(self) -> int:
+        """Masked triangles the camera raster must consider."""
+        return self.n_masked if self.n_masked_raster < 0 \
+            else self.n_masked_raster
+
     @property
     def num_vertices(self) -> int:
         p = self.positions
@@ -158,6 +172,7 @@ class SceneArrays:
             mat_tex_ids=put(self.mat_tex_ids),
             textures=new_tex,
             cubemap=cubemap,
+            n_masked_raster=self.n_masked_raster,
         )
 
 
@@ -202,7 +217,7 @@ def register_pytrees():
                     s.tris, s.tri_material, s.obj_world, s.obj_bounds,
                     s.mat_color_factors, s.mat_metal_rough, s.mat_tex_ids,
                     s.textures, s.cubemap)
-        aux = (s.n_opaque, s.n_masked, s.n_transparent)
+        aux = (s.n_opaque, s.n_masked, s.n_transparent, s.n_masked_raster)
         return children, aux
 
     def scene_unflatten(aux, children):
@@ -210,7 +225,8 @@ def register_pytrees():
          obj_world, obj_bounds, mcf, mmr, mti, textures, cubemap) = children
         return SceneArrays(positions, normals, uvs, colors, vert_obj, tris,
                            tri_material, aux[0], aux[1], aux[2], obj_world,
-                           obj_bounds, mcf, mmr, mti, textures, cubemap)
+                           obj_bounds, mcf, mmr, mti, textures, cubemap,
+                           n_masked_raster=aux[3])
 
     def tex_flatten(t: TextureTable):
         return (t.texels, t.mip_offsets, t.mip_sizes, t.n_mips,
