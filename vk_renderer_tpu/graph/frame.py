@@ -752,7 +752,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     vattr, vpos = _build_vertex_rows(scene, world_pos, world_nrm)
     ptbl = build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos)
     ptbl_a = (build_alpha_ptbl(scene, padded, tris_p, tri_mat_p, vattr)
-              if ptbl is not None and scene.n_masked > 0 else None)
+              if ptbl is not None and scene.n_masked_vis > 0 else None)
 
     # ---- bin ONCE for every camera-view bucket (one pair sort; buckets
     # are contiguous tri-id ranges sliced out by binary search), then
@@ -761,10 +761,13 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     bounds = [(0, scene.n_opaque)]
     caps = [cfg.cap_opaque]
     rec_caps = [cfg.rec_opaque]
-    if scene.n_masked > 0:
+    if n_mvis > 0:
         # bucket covers only the can-pass masked range (never-pass tris
-        # are camera-invalid and sorted past n_masked_vis)
-        bounds.append((scene.n_opaque, scene.n_opaque + max(n_mvis, 1)))
+        # are camera-invalid and sorted past n_masked_vis).  A scene
+        # whose masked triangles are ALL classified never-pass skips the
+        # bucket — and the whole peel machinery — entirely (the shadow
+        # pass still rasters the full masked range)
+        bounds.append((scene.n_opaque, scene.n_opaque + n_mvis))
         caps.append(cfg.cap_masked)
         rec_caps.append(cfg.rec_masked)
     if scene.n_transparent > 0:
@@ -793,7 +796,7 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     fallback_px = plan_o.get("pair_fallback", jnp.int32(0))
     if extra_fallback is not None:
         fallback_px = fallback_px + extra_fallback
-    if scene.n_masked > 0:
+    if n_mvis > 0:
         plan_m = raster.prepare_records(plans.pop(0), padded, st["bbox"], w,
                                         cfg.tile_w, cfg.tile_h)
         depth, tid, peel_m, fb_m = _masked_pass(scene, cfg, plan_m, padded,

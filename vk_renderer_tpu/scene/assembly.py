@@ -315,11 +315,9 @@ class SceneBuilder:
             mt = tris_a[lo:hi]
             mm = mats_a[lo:hi]
             tex_of = np.array([m.albedo_id for m in mats], np.int64)[mm]
-            cfa_of = np.array([float(m.color_factors[3]) for m in mats],
-                              np.float32)[mm]
             cu = uvs_a[mt.reshape(-1), 0].reshape(-1, 3)
             cv = uvs_a[mt.reshape(-1), 1].reshape(-1, 3)
-            _, amax = tri_alpha_bounds(self.heap, tex_of, cfa_of, cu, cv)
+            _, amax = tri_alpha_bounds(self.heap, tex_of, cu, cv)
             never = amax < 0.5
             order = np.argsort(never, kind="stable")   # can-pass first
             tris_a[lo:hi] = mt[order]

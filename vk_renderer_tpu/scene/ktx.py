@@ -148,10 +148,22 @@ def _inflate(payload: bytes, supercomp: int, expect_len: int) -> bytes:
             raise ValueError(
                 "Zstandard-supercompressed KTX2 needs the 'zstandard' "
                 "module") from e
-        return zstandard.ZstdDecompressor().decompress(
+        out = zstandard.ZstdDecompressor().decompress(
             payload, max_output_size=expect_len)
+        if len(out) != expect_len:
+            raise ValueError(
+                f"KTX2 Zstd level expanded to {len(out)} bytes, "
+                f"header declares {expect_len}")
+        return out
     if supercomp == _SC_ZLIB:
-        return zlib.decompress(payload)
+        # bounded, like the Zstd path: a corrupt/hostile stream must not
+        # expand past the declared uncompressedByteLength
+        out = zlib.decompressobj().decompress(payload, expect_len)
+        if len(out) != expect_len:
+            raise ValueError(
+                f"KTX2 ZLIB level expanded to {len(out)} bytes, "
+                f"header declares {expect_len}")
+        return out
     raise ValueError(f"KTX2 supercompression scheme {supercomp} not "
                      "supported (BasisLZ needs a transcoder)")
 

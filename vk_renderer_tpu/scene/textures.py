@@ -222,11 +222,16 @@ def _rect_minmax(pmins, pmaxs, h, w, x0, x1, y0, y1):
 
 
 def tri_alpha_bounds(heap: TextureHeapBuilder, tex_ids: np.ndarray,
-                     cf_a: np.ndarray, u: np.ndarray, v: np.ndarray):
+                     u: np.ndarray, v: np.ndarray):
     """Conservative per-triangle bounds [amin, amax] of the alpha the
-    fragment stage can sample (mesh_pbr.frag:192-194: colorFactors.a *
-    trilinear albedo alpha; vertex color alpha is 1 on colorless
-    scenes): every trilinear tap inside the triangle reads texels within
+    fragment stage can sample.  The reference's discard operand is the RAW
+    trilinear albedo alpha — ``if (albedoTex.a < 0.5) discard;``
+    (mesh_pbr.frag:193) — with no colorFactors.a or vertex-color term, and
+    the runtime accept test (_winner_alpha) matches it; the bounds must
+    therefore cover exactly that operand (a baseColorFactor.a < 1 material
+    must NOT scale the bound, or visible geometry would be classified
+    never-pass and silently culled): every trilinear tap inside the
+    triangle reads texels within
     the triangle's uv bbox expanded by the bilinear footprint (1.5
     texels at the sampled level; any mip level may be sampled, so bounds
     fold min/max across ALL levels), and the lerp of two levels stays
@@ -267,8 +272,8 @@ def tri_alpha_bounds(heap: TextureHeapBuilder, tex_ids: np.ndarray,
                                       x0, x1, y0, y1)
             lo = np.minimum(lo, l_lo)
             hi = np.maximum(hi, l_hi)
-        amin[sel] = np.maximum(lo - q_margin, 0.0) * cf_a[sel]
-        amax[sel] = (hi + q_margin) * cf_a[sel]
+        amin[sel] = np.maximum(lo - q_margin, 0.0)
+        amax[sel] = hi + q_margin
     return amin, amax
 
 
