@@ -361,6 +361,57 @@ def _winner_alpha(scene, tid, rows, vattr, px=None, py=None, ptbl=None,
     return alpha
 
 
+def _masked_accept_state(scene, t2_s, px, py, ptbl_a, unc_cap):
+    """Alpha-cutoff accept mask for a compact candidate list via the baked
+    3-state alpha-coverage pyramid (scene/textures.build_alpha_states —
+    VERDICT r4 task 2): ONE packed-bit gather classifies each candidate
+    as certain-accept / certain-reject / uncertain; only the uncertain
+    band (alpha-edge texel cells) pays the trilinear, compacted to
+    ``unc_cap``.  Beyond the cap a lax.cond runs the trilinear for the
+    whole list instead — exact on every path (the miss count is returned
+    as a fallback_px signal, not a deviation).  Bit-exact vs the
+    trilinear path: the baked states are conservative bounds over the
+    exact footprint (certainty argument in build_alpha_states)."""
+    weights, corners, meta_cols = interp.alpha_weights_and_uv(
+        ptbl_a, t2_s, px, py, n_meta=3)
+    (u, dudx, dudy), (v, dvdx, dvdy) = interp.derivs_from_corners(
+        corners, (0, 1), weights)
+    f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
+    meta_a = tex.unpack_meta(f2i(meta_cols[0]), f2i(meta_cols[1]))
+    sbase = f2i(meta_cols[2])
+    st = tex.alpha_state_lookup(scene.textures.alpha_states, u, v,
+                                dudx, dvdx, dudy, dvdy, meta_a, sbase)
+    dom = t2_s >= 0
+    unc = dom & (st == 0)
+    n_unc = jnp.sum(unc.astype(jnp.int32))
+    n = t2_s.shape[0]
+
+    def tri_sparse(_):
+        from ..ops.common import compact_mask
+        csel, _ = compact_mask(unc, unc_cap)
+        cs = jnp.maximum(csel, 0)
+        t2u = jnp.where(csel >= 0, jnp.take(t2_s, cs), -1)
+        pxu = jnp.take(px, cs)
+        pyu = jnp.take(py, cs)
+        alpha_u = _winner_alpha(scene, t2u, None, None, pxu, pyu,
+                                ptbl_a=ptbl_a)
+        tgt = jnp.where(csel >= 0, csel, n)
+        return jnp.zeros((n,), bool).at[tgt].set(alpha_u >= 0.5,
+                                                 mode="drop")
+
+    def tri_full(_):
+        # cap miss: the whole list pays the trilinear (exact; u/v/derivs
+        # and meta are already in hand)
+        (alpha,) = tex.sample_trilinear(scene.textures, None, u, v,
+                                        dudx, dvdx, dudy, dvdy,
+                                        channels=(3,), meta=meta_a)
+        return alpha >= 0.5
+
+    tri_acc = jax.lax.cond(n_unc <= unc_cap, tri_sparse, tri_full, 0)
+    accept = dom & ((st == tex.ALPHA_STATE_ACCEPT) | (unc & tri_acc))
+    return accept, jnp.maximum(n_unc - unc_cap, 0)
+
+
 def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
                  depth, tid, ptbl=None, ptbl_a=None):
     """Alpha-cutoff bucket resolved by depth peeling: rasterize the
@@ -399,19 +450,34 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     # pixels — an 8k list is ~10x cheaper than cap_small's
     cap_tiny = min(cap_small, 8192)
 
+    # the baked 3-state path needs the alpha rows to carry the state-base
+    # column AND the scene to carry the packed state words (both exist
+    # together for scenes that classify masked triangles)
+    use_state = (ptbl_a is not None
+                 and getattr(scene.textures, "alpha_states", None) is not None
+                 and getattr(scene.textures, "alpha_state_base", None)
+                 is not None)
+
     def accept_sparse(t2, cap):
         sel, _ = _compact_covered(t2, cap)
         selc, t2_s, px, py = _sparse_pixels(sel, t2, w)
-        alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py, ptbl,
-                                ptbl_a=ptbl_a)
+        if use_state:
+            unc_cap = min(cap, max(8192, cap // 4))
+            acc_s, over = _masked_accept_state(scene, t2_s, px, py, ptbl_a,
+                                               unc_cap)
+        else:
+            alpha_s = _winner_alpha(scene, t2_s, rows, vattr, px, py, ptbl,
+                                    ptbl_a=ptbl_a)
+            acc_s = alpha_s >= 0.5
+            over = jnp.int32(0)
         tgt = jnp.where(sel >= 0, sel, w * h)
-        return jnp.zeros((w * h,), bool).at[tgt].set(
-            alpha_s >= 0.5, mode="drop")
+        return (jnp.zeros((w * h,), bool).at[tgt].set(acc_s, mode="drop"),
+                over)
 
     def accept_dense(t2):
         alpha_d = _winner_alpha(scene, t2, rows, vattr, ptbl=ptbl,
                                 ptbl_a=ptbl_a)
-        return (alpha_d >= 0.5).reshape(-1)
+        return (alpha_d >= 0.5).reshape(-1), jnp.int32(0)
 
     # mid tier between cap_small and cap: deep-peel pending sets on
     # foliage-row cameras (the replica bench view looks down 9 aligned
@@ -429,13 +495,16 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         # later: the decaying reject tail) — fewer compiled branches AND
         # a tighter cap than one shared ladder.  The dense eval remains
         # the exact fallback on every peel; a miss is counted by the
-        # caller.
+        # caller.  The state path compiles an extra inner cond per tier
+        # (uncertain-band trilinear), so its ladders are kept shorter.
         if peel_k == 0:
-            ladder = [cap, cap_huge]
+            ladder = [cap, cap_huge] if not use_state else [cap_huge]
         elif peel_k == 1:
-            ladder = [cap_tiny, cap_small, cap_mid, cap]
+            ladder = ([cap_tiny, cap_small, cap_mid, cap] if not use_state
+                      else [cap_small, cap])
         else:
-            ladder = [cap_tiny, cap_small, cap_mid]
+            ladder = ([cap_tiny, cap_small, cap_mid] if not use_state
+                      else [cap_tiny, cap_mid])
         ladder = sorted(set(ladder))
 
         def build(i):
@@ -448,7 +517,8 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         # zero tier first: cameras not facing foliage skip the cap-sized
         # alpha evaluation entirely (no found pixel can be accepted)
         return jax.lax.cond(n_found == 0,
-                            lambda t: jnp.zeros((w * h,), bool),
+                            lambda t: (jnp.zeros((w * h,), bool),
+                                       jnp.int32(0)),
                             build(0), t2)
 
     def ladder_max(peel_k: int) -> int:
@@ -486,8 +556,8 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
                 domain = pending & (lt >= 0)
                 t2 = jnp.where(domain, lt, -1)
                 n_found = jnp.sum(domain.astype(jnp.int32))
-                accept_flat = tiered_accept(t2, n_found, base_peel + k)
-                fallback = fallback + jnp.maximum(
+                accept_flat, over = tiered_accept(t2, n_found, base_peel + k)
+                fallback = fallback + over + jnp.maximum(
                     n_found - ladder_max(base_peel + k), 0)
                 accept = domain & accept_flat.reshape(h, w)
                 depth = jnp.where(accept, ld, depth)
@@ -582,8 +652,8 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
             init_id=no_id, floor_depth=floor)
         found = t2 >= 0
         n_found = jnp.sum(found.astype(jnp.int32))
-        accept_flat = tiered_accept(t2, n_found, k)
-        fallback = fallback + jnp.maximum(n_found - ladder_max(k), 0)
+        accept_flat, over = tiered_accept(t2, n_found, k)
+        fallback = fallback + over + jnp.maximum(n_found - ladder_max(k), 0)
         accept = found & accept_flat.reshape(h, w)
         depth = jnp.where(accept, d2, depth)
         tid = jnp.where(accept, t2, tid)
@@ -958,14 +1028,17 @@ def build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos):
 def build_alpha_ptbl(scene, padded, tris_p, tri_mat_p, vattr):
     """The masked alpha probe's 24-wide row table
     (interp.build_alpha_rows): edges + anchor + uv corners + albedo meta
-    — half the 48-wide packed row's gather transactions for the peel
-    loop.  Colorless layout only (caller gates on ptbl existing)."""
+    (+ the alpha-coverage state-base column when the scene carries baked
+    states) — half the 48-wide packed row's gather transactions for the
+    peel loop.  Colorless layout only (caller gates on ptbl existing)."""
     base_t, pack_t = tex.packed_meta_cols(scene.textures)
     aid = scene.mat_tex_ids[:, 0]
     i2f = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.int32), jnp.float32)
-    mat_alpha = jnp.stack([i2f(base_t[aid]), i2f(pack_t[aid])],
-                          axis=-1)[tri_mat_p]
+    cols = [i2f(base_t[aid]), i2f(pack_t[aid])]
+    if getattr(scene.textures, "alpha_state_base", None) is not None:
+        cols.append(i2f(scene.textures.alpha_state_base[aid]))
+    mat_alpha = jnp.stack(cols, axis=-1)[tri_mat_p]
     return interp.build_alpha_rows(padded, tris_p, vattr, mat_alpha)
 
 

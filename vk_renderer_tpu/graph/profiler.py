@@ -89,7 +89,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
                             vpos)
         ptbl_a = (F.build_alpha_ptbl(scene, padded, tris_p, tri_mat_p,
                                      vattr)
-                  if ptbl is not None and scene.n_masked > 0 else None)
+                  if ptbl is not None and scene.n_masked_vis > 0 else None)
         return {"st": st, "padded": padded, "rows": rows, "vattr": vattr,
                 "vpos": vpos, "world_pos": world_pos,
                 "tri_visible": tri_visible, "ptbl": ptbl,
@@ -109,8 +109,10 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     bounds = [(0, scene.n_opaque)]
     caps = [cfg.cap_opaque]
     rec_caps = [cfg.rec_opaque]
-    if scene.n_masked > 0:
-        bounds.append((scene.n_opaque, n_om))
+    if scene.n_masked_vis > 0:
+        # can-pass sub-range only, matching render_view (never-pass tris
+        # are camera-invalid and sorted past n_masked_vis)
+        bounds.append((scene.n_opaque, scene.n_opaque + scene.n_masked_vis))
         caps.append(cfg.cap_masked)
         rec_caps.append(cfg.rec_masked)
     if scene.n_transparent > 0:
@@ -154,7 +156,7 @@ def profile_passes(scene, scene_data: dict, settings: dict,
     timings["raster_opaque"] = ms
 
     # ---- stage: masked (alpha-cutoff) pass (+ sub-stage decomposition)
-    if scene.n_masked > 0:
+    if scene.n_masked_vis > 0:
         plan_m = plan_out.pop(0)
 
         def stage_masked_kraster(plan_m, padded, depth):

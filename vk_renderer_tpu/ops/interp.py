@@ -136,25 +136,26 @@ def build_alpha_rows(setup_padded: dict, tris_p, vattr: jax.Array,
     48-wide packed row's gather transactions for the peel loop's
     ~2-3M alpha evaluations per frame.
 
-    cols 0:9 edges | 9:11 anchor | 11:17 uv0 uv1 uv2 | 17:19 meta_a
-    (i32 base/pack bitcast into f32 lanes — bit-preserving moves only,
-    see build_packed_rows' HAZARD note) | 19:24 zero pad.
+    cols 0:9 edges | 9:11 anchor | 11:17 uv0 uv1 uv2 | 17:17+K meta_a
+    (i32 base/pack/state-base bitcast into f32 lanes — bit-preserving
+    moves only, see build_packed_rows' HAZARD note) | ..24 zero pad.
 
     ``vattr`` must be the colorless 8-wide layout (u, v at cols 3, 4);
-    ``mat_alpha``: [M, 2] i32-bitcast albedo meta columns."""
+    ``mat_alpha``: [M, K<=7] i32-bitcast albedo meta columns."""
     e = setup_padded["edge"]
     anc = setup_padded["anchor"]
     cols = [e[i] for i in range(9)] + [anc[0], anc[1]]
     for k in range(3):
         ck = vattr[tris_p[k]]
         cols += [ck[:, 3], ck[:, 4]]
-    cols += [mat_alpha[:, 0], mat_alpha[:, 1]]
+    cols += [mat_alpha[:, j] for j in range(mat_alpha.shape[1])]
     zero = jnp.zeros_like(e[0])
     cols += [zero] * (ALPHA_COLS - len(cols))
     return jnp.stack(cols, axis=-1)
 
 
-def alpha_weights_and_uv(ptbl_a: jax.Array, tri_id: jax.Array, px, py):
+def alpha_weights_and_uv(ptbl_a: jax.Array, tri_id: jax.Array, px, py,
+                         n_meta: int = 2):
     """packed_weights_and_corners' alpha-row counterpart: one 24-wide
     row-gather yields (weights, uv corner pairs, meta cols)."""
     sentinel = ptbl_a.shape[0] - 1
@@ -176,7 +177,7 @@ def alpha_weights_and_uv(ptbl_a: jax.Array, tri_id: jax.Array, px, py):
     weights = {"lam": lam, "a": a, "b": b, "esum": esafe, "inv_esum": inv,
                "ids": ids}
     corners = (r[..., 11:13], r[..., 13:15], r[..., 15:17])
-    return weights, corners, (r[..., 17], r[..., 18])
+    return weights, corners, tuple(r[..., 17 + j] for j in range(n_meta))
 
 
 def packed_weights_and_corners(ptbl: jax.Array, tri_id: jax.Array,

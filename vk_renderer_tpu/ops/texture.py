@@ -196,6 +196,55 @@ def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
     return tuple(a + (b - a) * frac for a, b in zip(c0, c1))
 
 
+ALPHA_STATE_SHIFT = 1   # must match scene/textures.ALPHA_STATE_SHIFT
+ALPHA_STATE_ACCEPT = 1
+ALPHA_STATE_REJECT = 2
+
+
+def alpha_state_lookup(states, u, v, dudx, dvdx, dudy, dvdy, meta, sbase):
+    """One-gather lookup into the baked 3-state alpha-coverage pyramid
+    (scene/textures.build_alpha_states): returns i32 planar states —
+    ALPHA_STATE_ACCEPT (trilinear alpha certainly >= 0.5),
+    ALPHA_STATE_REJECT (certainly < 0.5) or 0 (uncertain — caller must
+    run the real trilinear).  ``meta``: the unpack_meta 7-tuple;
+    ``sbase``: per-pixel i32 state-base cell index (-1 = no table ->
+    uncertain).
+
+    Consistency: the floor level l0 and the bilinear base texel are
+    computed with EXACTLY the expressions sample_trilinear /_bilinear_at
+    use (same f32 rounding), so the consulted cell is the one whose baked
+    bounds cover this sample's footprint.  When frac == 0 the trilinear
+    reduces exactly to the level-l0 bilinear, so the sharper LEVEL-ONLY
+    nibble half applies (build_alpha_states)."""
+    w0, h0, max_level, _srgb, w0i, h0i, _base = meta
+    lam = _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy)
+    l0 = jnp.floor(lam).astype(jnp.int32)
+    frac = lam - l0.astype(jnp.float32)
+    wl = jnp.maximum(w0i >> l0, 1)
+    hl = jnp.maximum(h0i >> l0, 1)
+    # bilinear base texel — the _bilinear_at expressions verbatim
+    x = u * wl.astype(jnp.float32) - 0.5
+    y = v * hl.astype(jnp.float32) - 0.5
+    x0i = jnp.mod(jnp.floor(x).astype(jnp.int32), wl)
+    y0i = jnp.mod(jnp.floor(y).astype(jnp.int32), hl)
+    s = ALPHA_STATE_SHIFT
+    b = 1 << s
+    # level offset + cell-grid width, derived arithmetically (the state
+    # layout is level-major with ceil-division grids — see
+    # build_alpha_states; same unrolled-where idiom as _desc_from_meta)
+    acc = jnp.zeros_like(l0)
+    for m in range(MAX_MIPS - 1):
+        cwm = (jnp.maximum(w0i >> m, 1) + (b - 1)) >> s
+        chm = (jnp.maximum(h0i >> m, 1) + (b - 1)) >> s
+        acc = acc + jnp.where(l0 > m, cwm * chm, 0)
+    cw = (wl + (b - 1)) >> s
+    ci = sbase + acc + (y0i >> s) * cw + (x0i >> s)
+    word = jnp.take(states, jnp.clip(ci >> 3, 0, states.shape[0] - 1))
+    nib = (word >> ((ci & 7) * 4)) & 0xF
+    st = jnp.where(frac > 0.0, nib & 3, (nib >> 2) & 3)
+    return jnp.where(sbase >= 0, st, 0)
+
+
 def packed_meta_cols(textures):
     """Per-texture (base_off, packed_meta) i32 columns for fusing texture
     meta into wider material rows (shade_pbr's fused_mat_meta path):

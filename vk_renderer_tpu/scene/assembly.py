@@ -309,8 +309,9 @@ class SceneBuilder:
         # thins the masked records and truncates the deep alpha-reject
         # peel chains at their source.
         n_masked_raster = counts[1]
+        alpha_states = alpha_state_base = None
         if counts[1] > 0:
-            from .textures import tri_alpha_bounds
+            from .textures import build_alpha_states, tri_alpha_bounds
             lo, hi = counts[0], counts[0] + counts[1]
             mt = tris_a[lo:hi]
             mm = mats_a[lo:hi]
@@ -323,6 +324,11 @@ class SceneBuilder:
             tris_a[lo:hi] = mt[order]
             mats_a[lo:hi] = mm[order]
             n_masked_raster = int(np.count_nonzero(~never))
+            # bake the 3-state alpha-coverage pyramid for the masked
+            # albedo textures: the peel loop resolves most accept/reject
+            # decisions from ONE packed-bit gather instead of a trilinear
+            alpha_states, alpha_state_base = build_alpha_states(
+                self.heap, np.unique(tex_of))
 
         scene = SceneArrays(
             positions=np.concatenate(positions) if positions else np.zeros((0, 3), np.float32),
@@ -345,4 +351,7 @@ class SceneBuilder:
             textures=self.heap.build(),
             cubemap=self.cubemap,
         )
+        if alpha_states is not None:
+            scene.textures.alpha_states = alpha_states
+            scene.textures.alpha_state_base = alpha_state_base
         return scene

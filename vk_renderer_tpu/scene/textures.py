@@ -277,6 +277,150 @@ def tri_alpha_bounds(heap: TextureHeapBuilder, tex_ids: np.ndarray,
     return amin, amax
 
 
+ALPHA_STATE_SHIFT = 1          # log2 of the state-cell side (B = 2 texels)
+ALPHA_STATE_ACCEPT = 1
+ALPHA_STATE_REJECT = 2
+
+
+_UPPER_TOL = 1.0 / 32.0   # f32 coordinate-rounding cover (see below)
+
+
+def _upper_level_minmax(aq1: np.ndarray, w_l: int, h_l: int) -> tuple:
+    """Conservative per-level-l-base-texel min/max over the level-(l+1)
+    texels a trilinear can read.  For base texel tx at level l the sampled
+    u lies in [(tx+0.5)/w_l, (tx+1.5)/w_l); the level-l1 bilinear then
+    reads texels floor(u*w_l1 - 0.5) and +1 (REPEAT-wrapped).  Index
+    ranges are widened by ``_UPPER_TOL`` texels to absorb the runtime's
+    f32 rounding of ``u*w - 0.5`` on BOTH levels (sound for
+    |u|*w <= 2^17, i.e. hundreds of UV repeats on kilotexel levels —
+    beyond that the bound would be unsound, as with tri_alpha_bounds).
+    Separable (x then y).  Returns (mn, mx) f32[h_l, w_l]."""
+    h1, w1 = aq1.shape
+
+    def axis_ranges(n_l: int, n_1: int):
+        t = np.arange(n_l, dtype=np.float64)
+        lo = np.floor((t + 0.5) * n_1 / n_l - 0.5 - _UPPER_TOL
+                      ).astype(np.int64)
+        hi = np.floor((t + 1.5) * n_1 / n_l - 0.5 + _UPPER_TOL
+                      ).astype(np.int64) + 1
+        return lo, hi
+
+    xlo, xhi = axis_ranges(w_l, w1)
+    span_x = int((xhi - xlo).max()) + 1
+    cols_mn = np.full((h1, w_l), np.inf, np.float32)
+    cols_mx = np.full((h1, w_l), -np.inf, np.float32)
+    for k in range(span_x):
+        idx = np.mod(np.minimum(xlo + k, xhi), w1)
+        cols_mn = np.minimum(cols_mn, aq1[:, idx])
+        cols_mx = np.maximum(cols_mx, aq1[:, idx])
+    ylo, yhi = axis_ranges(h_l, h1)
+    span_y = int((yhi - ylo).max()) + 1
+    mn = np.full((h_l, w_l), np.inf, np.float32)
+    mx = np.full((h_l, w_l), -np.inf, np.float32)
+    for k in range(span_y):
+        idx = np.mod(np.minimum(ylo + k, yhi), h1)
+        mn = np.minimum(mn, cols_mn[idx])
+        mx = np.maximum(mx, cols_mx[idx])
+    return mn, mx
+
+
+def _cell_reduce(a: np.ndarray, block: int, reduce_fn, pad_val) -> np.ndarray:
+    """Block-reduce [h, w] to cdiv grids (partial edge cells padded)."""
+    h, w = a.shape
+    ch = -(-h // block)
+    cw = -(-w // block)
+    if ch * block != h or cw * block != w:
+        a = np.pad(a, ((0, ch * block - h), (0, cw * block - w)),
+                   mode="constant", constant_values=pad_val)
+    return reduce_fn(a.reshape(ch, block, cw, block), axis=(1, 3))
+
+
+def build_alpha_states(heap: TextureHeapBuilder, tex_ids) -> tuple:
+    """Bake the 3-state alpha-coverage pyramid for the given textures
+    (VERDICT r4 task 2): for every (mip level l, 2x2-texel cell) of each
+    texture, classify the trilinear albedo alpha a sample with floor-LOD
+    l and bilinear base texel inside the cell can produce:
+
+      ALPHA_STATE_ACCEPT (1): every readable texel has quantized alpha
+        >= 0.5 — any convex combination is >= 128/255, so the
+        mesh_pbr.frag:193 test PASSES for certain;
+      ALPHA_STATE_REJECT (2): every readable texel has alpha < 0.5
+        (<= 127/255) — the test FAILS for certain;
+      0: mixed — the caller must run the real trilinear.
+
+    TWO states are baked per cell (4 bits, 8 cells per u32 word):
+    - the PAIR state folds the level-l bilinear 2x2 REPEAT neighborhood
+      AND the level-(l+1) footprint — sound for any mip fraction;
+    - the LEVEL-ONLY state folds just the level-l neighborhood — the
+      runtime picks it when frac == lam - l0 == 0, where the trilinear
+      reduces EXACTLY to the level-l bilinear (a + (b-a)*0 == a in f32).
+      This is the common magnified-foliage case: lam clamps to 0.0
+      whenever rho <= 1, so near geometry always has frac == 0 and gets
+      the sharp level-0 classification instead of the level-1-dilated
+      one.
+
+    Certainty argument: the trilinear value is a convex combination of
+    the texels in its footprint (two bilinears, each a convex combination
+    of its 2x2, lerped with frac in [0, 1]), so it lies in [min, max] of
+    the footprint texels; the stored texels are on the k/255 grid, so the
+    >= 0.5 / < 0.5 classification carries a 1/510 margin — orders beyond
+    the f32 lerp chain's rounding (~1e-7).  Level-l1 footprints are
+    widened by _UPPER_TOL texels for the runtime's f32 coordinate
+    rounding.  The runtime lookup derives the level-l cell from the SAME
+    ``floor(u*w - 0.5)`` expression the trilinear's bilinear uses, so no
+    margin is needed at level l.
+
+    Returns (states u32[ceil(cells/8)] — 4-bit packed: lo 2 bits = pair
+    state, hi 2 bits = level-only state — and sbase i32[T]: each
+    texture's first global cell index, -1 = no table).  Cell-grid dims
+    per level are ceil-divisions of the mip dims by the block, laid out
+    level-major then row-major — derivable arithmetically at lookup time
+    from the texture's (w0, h0) meta."""
+    block = 1 << ALPHA_STATE_SHIFT
+    t_count = len(heap._textures)
+    sbase = np.full(t_count, -1, np.int32)
+    chunks: list[np.ndarray] = []
+    cursor = 0
+
+    def classify(cmin, cmax):
+        return np.where(cmin >= 0.5, ALPHA_STATE_ACCEPT,
+                        np.where(cmax < 0.5, ALPHA_STATE_REJECT,
+                                 0)).astype(np.uint32)
+
+    for t in sorted(set(int(x) for x in tex_ids)):
+        mips = heap._textures[t]
+        aqs = [np.round(np.clip(m[..., 3], 0.0, 1.0) * 255.0)
+               .astype(np.float32) / np.float32(255.0) for m in mips]
+        sbase[t] = cursor
+        for l, aq in enumerate(aqs):
+            h_l, w_l = aq.shape
+            # level-l bilinear 2x2 neighborhood (REPEAT exact via roll)
+            mn = np.minimum(aq, np.roll(aq, -1, axis=1))
+            mn = np.minimum(mn, np.roll(mn, -1, axis=0))
+            mx = np.maximum(aq, np.roll(aq, -1, axis=1))
+            mx = np.maximum(mx, np.roll(mx, -1, axis=0))
+            only = classify(_cell_reduce(mn, block, np.min, np.inf),
+                            _cell_reduce(mx, block, np.max, -np.inf))
+            if l + 1 < len(aqs):
+                mn1, mx1 = _upper_level_minmax(aqs[l + 1], w_l, h_l)
+                mn = np.minimum(mn, mn1)
+                mx = np.maximum(mx, mx1)
+            pair = classify(_cell_reduce(mn, block, np.min, np.inf),
+                            _cell_reduce(mx, block, np.max, -np.inf))
+            chunks.append((pair | (only << 2)).reshape(-1))
+            cursor += pair.size
+    if not chunks:
+        return np.zeros(1, np.uint32), sbase
+    cells = np.concatenate(chunks)
+    n_words = -(-cells.size // 8)
+    padded = np.zeros(n_words * 8, np.uint32)
+    padded[:cells.size] = cells
+    words = np.zeros(n_words, np.uint32)
+    for j in range(8):
+        words |= padded[j::8] << (4 * j)
+    return words, sbase
+
+
 def make_default_heap() -> tuple[TextureHeapBuilder, dict[str, int]]:
     """Create the heap pre-populated with the reference's default slots
     (vk_engine_init.cpp:318-355, including the slot-0 overwrite quirk) plus

@@ -52,6 +52,13 @@ class TextureTable:
     mip_sizes: np.ndarray    # i32[T, MAX_MIPS, 2]  (w, h) logical, clamped at 1
     n_mips: np.ndarray       # i32[T]
     srgb_flags: np.ndarray = None   # i32[T]: 1 = stored sRGB-encoded
+    # baked 3-state alpha-coverage pyramid (scene/textures.py
+    # build_alpha_states): 2-bit states packed 16/word over (level, 2x2
+    # cell); alpha_state_base[t] = texture t's first global cell index
+    # (-1 = no table).  Only albedo textures of discard-capable
+    # materials carry one.
+    alpha_states: np.ndarray = None      # u32[W]
+    alpha_state_base: np.ndarray = None  # i32[T]
 
 
 @dataclass
@@ -142,7 +149,10 @@ class SceneArrays:
                 mip_offsets=put(tex.mip_offsets),
                 mip_sizes=put(tex.mip_sizes),
                 n_mips=put(tex.n_mips),
-                srgb_flags=put(tex.srgb_flags))
+                srgb_flags=put(tex.srgb_flags),
+                alpha_states=(put(tex.alpha_states.view(np.int32))
+                              if tex.alpha_states is not None else None),
+                alpha_state_base=put(tex.alpha_state_base))
         cubemap = None
         if self.cubemap is not None:
             cubemap = put(quad_pack_cubemap(pack_rgb9e5(self.cubemap)))
@@ -230,7 +240,7 @@ def register_pytrees():
 
     def tex_flatten(t: TextureTable):
         return (t.texels, t.mip_offsets, t.mip_sizes, t.n_mips,
-                t.srgb_flags), None
+                t.srgb_flags, t.alpha_states, t.alpha_state_base), None
 
     def tex_unflatten(_, children):
         return TextureTable(*children)
