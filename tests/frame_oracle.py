@@ -118,13 +118,26 @@ def _srgb_to_linear(v):
     return np.where(v <= 0.04045, v / 12.92, ((v + 0.055) / 1.055) ** 2.4)
 
 
-def _texel_fetch(tex, tid, level, x, y):
-    """One texel (r, g, b, a) f64 in [0, 1] with REPEAT wrap, decoded
-    per-texel (sRGB for RGB channels of sRGB textures)."""
+def _wrap_oracle(i, n, wmode):
+    """Vulkan address modes per texel index (spec 16.3.1):
+    0 REPEAT, 1 CLAMP_TO_EDGE, 2 MIRRORED_REPEAT."""
+    i = np.asarray(i, np.int64)
+    if wmode == 1:
+        return np.clip(i, 0, n - 1)
+    if wmode == 2:
+        m = np.mod(i, 2 * n)
+        return np.where(m >= n, 2 * n - 1 - m, m)
+    return np.mod(i, n)
+
+
+def _texel_fetch(tex, tid, level, x, y, wrap_s=0, wrap_t=0):
+    """One texel (r, g, b, a) f64 in [0, 1], decoded per-texel (sRGB for
+    RGB channels of sRGB textures), wrapped per the sampler's address
+    modes (REPEAT default)."""
     off = int(tex.mip_offsets[tid, level])
     w, h = int(tex.mip_sizes[tid, level, 0]), int(tex.mip_sizes[tid, level, 1])
-    xi = np.mod(np.asarray(x, np.int64), w)
-    yi = np.mod(np.asarray(y, np.int64), h)
+    xi = _wrap_oracle(x, w, wrap_s)
+    yi = _wrap_oracle(y, h, wrap_t)
     # quad-interleaved heap: word 4*i is the texel's own value
     word = np.asarray(tex.texels, np.uint32).reshape(-1, 4)[off + yi * w + xi, 0]
     out = []
@@ -137,41 +150,69 @@ def _texel_fetch(tex, tid, level, x, y):
     return out
 
 
-def _bilinear(tex, tid, level, u, v):
+def _bilinear(tex, tid, level, u, v, mode=0):
+    """One filtered fetch at a level: bilinear, or NEAREST when the
+    sampler mode's filter bit applies (folded as fx=fy=0 on the nearest
+    texel floor(u*w) — no half-texel shift, Vulkan 16.6)."""
     w = float(tex.mip_sizes[tid, level, 0])
     h = float(tex.mip_sizes[tid, level, 1])
-    x = np.asarray(u, np.float64) * w - 0.5
-    y = np.asarray(v, np.float64) * h - 0.5
-    x0, y0 = np.floor(x), np.floor(y)
-    fx, fy = x - x0, y - y0
-    t00 = _texel_fetch(tex, tid, level, x0, y0)
-    t10 = _texel_fetch(tex, tid, level, x0 + 1, y0)
-    t01 = _texel_fetch(tex, tid, level, x0, y0 + 1)
-    t11 = _texel_fetch(tex, tid, level, x0 + 1, y0 + 1)
+    wrap_s = (mode >> 3) & 3
+    wrap_t = (mode >> 5) & 3
+    nearest = bool(mode & 1)
+    u = np.asarray(u, np.float64)
+    v = np.asarray(v, np.float64)
+    if nearest:
+        x0, y0 = np.floor(u * w), np.floor(v * h)
+        fx = fy = 0.0
+    else:
+        x = u * w - 0.5
+        y = v * h - 0.5
+        x0, y0 = np.floor(x), np.floor(y)
+        fx, fy = x - x0, y - y0
+    t00 = _texel_fetch(tex, tid, level, x0, y0, wrap_s, wrap_t)
+    t10 = _texel_fetch(tex, tid, level, x0 + 1, y0, wrap_s, wrap_t)
+    t01 = _texel_fetch(tex, tid, level, x0, y0 + 1, wrap_s, wrap_t)
+    t11 = _texel_fetch(tex, tid, level, x0 + 1, y0 + 1, wrap_s, wrap_t)
     return [(a * (1 - fx) + b * fx) * (1 - fy) + (c * (1 - fx) + d * fx) * fy
             for a, b, c, d in zip(t00, t10, t01, t11)]
 
 
 def sample_trilinear(tex, tid, u, v, dudx, dvdx, dudy, dvdy):
-    """Vulkan isotropic-LOD trilinear sample, float64."""
+    """Vulkan sampler in float64: isotropic LOD, trilinear by default;
+    honors the per-slot sampler mode bits (TextureTable.sampler_modes —
+    mag/min NEAREST, mipmap NEAREST, clamp/mirror wrap) when present."""
     w0 = float(tex.mip_sizes[tid, 0, 0])
     h0 = float(tex.mip_sizes[tid, 0, 1])
     max_level = int(tex.n_mips[tid]) - 1
+    smode = (int(tex.sampler_modes[tid])
+             if getattr(tex, "sampler_modes", None) is not None else 0)
     rho = np.maximum(np.sqrt((dudx * w0) ** 2 + (dvdx * h0) ** 2),
                      np.sqrt((dudy * w0) ** 2 + (dvdy * h0) ** 2))
     lam = np.clip(np.log2(np.maximum(rho, 1e-12)), 0.0, max_level)
-    l0 = np.floor(lam).astype(np.int64)
-    l1 = np.minimum(l0 + 1, max_level)
-    frac = lam - l0
+    # filter = magFilter where lambda <= 0, else minFilter
+    near_px = np.where(lam <= 0.0, bool(smode & 1), bool(smode & 2))
+    if smode & 4:                      # mipmap mode NEAREST
+        d = np.clip(np.ceil(lam + 0.5).astype(np.int64) - 1, 0, max_level)
+        l0, l1 = d, d
+        frac = np.zeros_like(lam)
+    else:
+        l0 = np.floor(lam).astype(np.int64)
+        l1 = np.minimum(l0 + 1, max_level)
+        frac = lam - l0
     out = [np.zeros_like(np.asarray(u, np.float64)) for _ in range(4)]
     for lv in np.unique(l0):
-        m = l0 == lv
-        c0 = _bilinear(tex, tid, int(lv), np.asarray(u)[m], np.asarray(v)[m])
-        c1 = _bilinear(tex, tid, int(min(lv + 1, max_level)),
-                       np.asarray(u)[m], np.asarray(v)[m])
-        f = frac[m]
-        for ch in range(4):
-            out[ch][m] = c0[ch] + (c1[ch] - c0[ch]) * f
+        for near in (False, True):
+            m = (l0 == lv) & (near_px == near)
+            if not m.any():
+                continue
+            lmode = (smode & ~1) | (1 if near else 0)
+            c0 = _bilinear(tex, tid, int(lv), np.asarray(u)[m],
+                           np.asarray(v)[m], lmode)
+            c1 = _bilinear(tex, tid, int(min(lv + 1, max_level)),
+                           np.asarray(u)[m], np.asarray(v)[m], lmode)
+            f = frac[m]
+            for ch in range(4):
+                out[ch][m] = c0[ch] + (c1[ch] - c0[ch]) * f
     return out
 
 

@@ -102,6 +102,50 @@ def test_state_conservative_vs_trilinear(seed):
                 f"lod {lod}: states mostly uncertain"
 
 
+def test_state_half_quantization_boundary():
+    """Mips of binary alpha hit EXACT half values ((255+255+0+0)/4 =
+    127.5), which the heap stores round-half-UP as 128 (>= 0.5, accepts);
+    the baked states must use the same rounding — np.round's half-to-even
+    classified these certain-reject (the round-5 TPU A/B divergence)."""
+    img = np.zeros((8, 8, 4), np.uint8)
+    img[..., :3] = 100
+    img[:, 0::2, 3] = 255          # alternating columns -> 127.5 at mip 1
+    table, t = _heap_with(img)
+    # mip 1 must quantize to 128/255 (accept side)
+    from vk_renderer_tpu.scene.textures import TextureHeapBuilder
+    b = TextureHeapBuilder()
+    b.add(img, srgb=True, mipmapped=True)
+    m1 = b._textures[0][1][..., 3]
+    assert np.any(np.abs(m1 * 255.0 - 127.5) < 1e-3), "fixture must hit .5"
+    dev = TextureTable(
+        texels=jnp.asarray(table.texels),
+        mip_offsets=jnp.asarray(table.mip_offsets),
+        mip_sizes=jnp.asarray(table.mip_sizes),
+        n_mips=jnp.asarray(table.n_mips),
+        srgb_flags=jnp.asarray(table.srgb_flags),
+        alpha_states=jnp.asarray(table.alpha_states.view(np.int32)),
+        alpha_state_base=jnp.asarray(table.alpha_state_base))
+    n = 96
+    u, v = np.meshgrid(np.linspace(0.01, 0.99, n, dtype=np.float32),
+                       np.linspace(0.01, 0.99, n, dtype=np.float32))
+    u, v = jnp.asarray(u), jnp.asarray(v)
+    base, pack = tex.packed_meta_cols(dev)
+    meta = tex.unpack_meta(base[t][None, None], pack[t][None, None])
+    meta = tuple(jnp.broadcast_to(m, u.shape) if hasattr(m, "shape")
+                 else m for m in meta)
+    sbase = jnp.full(u.shape, int(table.alpha_state_base[t]), jnp.int32)
+    for lod in [1.0, 1.5, 2.0]:       # the half-valued mip levels
+        d = jnp.full(u.shape, (2.0 ** lod) / 8.0, jnp.float32)
+        z = jnp.zeros_like(d)
+        st = np.asarray(tex.alpha_state_lookup(
+            dev.alpha_states, u, v, d, z, z, d, meta, sbase))
+        (alpha,) = tex.sample_trilinear(dev, None, u, v, d, z, z, d,
+                                        channels=(3,), meta=meta)
+        alpha = np.asarray(alpha)
+        assert not np.any((st == tex.ALPHA_STATE_ACCEPT) & (alpha < 0.5))
+        assert not np.any((st == tex.ALPHA_STATE_REJECT) & (alpha >= 0.5))
+
+
 def _foliage_scene():
     """Stacked masked quads (reject chains) over an opaque wall."""
     b = SceneBuilder()
@@ -148,7 +192,8 @@ def test_masked_pass_ab_state_vs_trilinear():
                       cap_transparent=64, raster_chunk=32, masked_chunk=8,
                       shadow_size=256, shadow_cap=256, masked_peels=3,
                       masked_tail_rounds=1, masked_tail_peels=2,
-                      shading="flat", use_skybox=False)
+                      shading="flat", use_skybox=False,
+                      alpha_state_accept=True)
     s = RenderSettings()
     s.sunlight_color = np.array([1, 1, 1, 1], np.float32)
     out_on = driver.render(scene_on, Camera(), s, cfg)

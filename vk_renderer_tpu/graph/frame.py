@@ -82,6 +82,18 @@ class FrameConfig:
     # overhead made even a fully-gated round cost ~120 ms); beyond the
     # cap a lax.cond falls back to the gated full grid — exact either way
     masked_tail_tile_cap: int = 64
+    # tile-tier ladder for the masked accept layers (round 5): each
+    # accept evaluates alpha over the COMPACTED domain tiles at the
+    # smallest tier covering the live tile count; the full grid is
+    # appended as the top tier, so the ladder is exhaustive (no dense
+    # fallback, no cap-miss accounting).  Tile compaction is ~free
+    # (tools/bench_chain.py) — these tiers only bound the eval width
+    masked_tile_tiers: tuple = (64, 224)
+    # opt-in baked alpha-coverage-state accept (scene/textures.
+    # build_alpha_states): bit-exact vs the trilinear accept
+    # (tests/test_alpha_state.py A/B) but measured cost-neutral on the
+    # chained-gather cost model — kept as an A/B-able alternative
+    alpha_state_accept: bool = False
     # occupancy-packed record caps (TPU path; auto-shrunk to scene size).
     # Record-build cost is proportional to the STATIC cap, and truncation
     # is counted in bin_overflow — sized ~5x above bench-scene occupancy.
@@ -378,7 +390,8 @@ def _masked_accept_state(scene, t2_s, px, py, ptbl_a, unc_cap):
         corners, (0, 1), weights)
     f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     meta_a = tex.unpack_meta(f2i(meta_cols[0]), f2i(meta_cols[1]))
-    sbase = f2i(meta_cols[2])
+    # decode the guard-bit sbase encoding (see build_alpha_ptbl)
+    sbase = (f2i(meta_cols[2]) & (tex.F32_GUARD_BIT - 1)) - 1
     st = tex.alpha_state_lookup(scene.textures.alpha_states, u, v,
                                 dudx, dvdx, dudy, dvdy, meta_a, sbase)
     dom = t2_s >= 0
@@ -452,8 +465,14 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
 
     # the baked 3-state path needs the alpha rows to carry the state-base
     # column AND the scene to carry the packed state words (both exist
-    # together for scenes that classify masked triangles)
-    use_state = (ptbl_a is not None
+    # together for scenes that classify masked triangles).  Opt-in
+    # (cfg.alpha_state_accept): with the measured gather costs
+    # (tools/bench_chain.py) the state eval (24-row + state word,
+    # ~18 ns/slot) is only marginally cheaper than the trilinear
+    # (24-row + 2 quad-rows, ~20 ns/slot) and its uncertain-band
+    # sub-compaction pays the 2M-scatter tax — proven exact
+    # (tests/test_alpha_state.py) but not a default win
+    use_state = (cfg.alpha_state_accept and ptbl_a is not None
                  and getattr(scene.textures, "alpha_states", None) is not None
                  and getattr(scene.textures, "alpha_state_base", None)
                  is not None)
@@ -528,120 +547,172 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
     total_peels = cfg.masked_peels + max(0, cfg.masked_tail_rounds) * \
         cfg.masked_tail_peels
     if cfg.k_raster:
+        # TILE-SPACE masked resolution (round 5).  Chained-in-jit TPU
+        # measurements (tools/bench_chain.py) showed the old per-layer
+        # PIXEL compaction paid ~10 ms per layer in compact_mask's
+        # 2M-update scatter (~280 ms/frame across the 28 accept layers)
+        # while TILE-granular compact+gather+scatter of the same data
+        # measures at noise level.  The whole pass therefore lives in
+        # tile space: the k-buffer layers are BORN tiled in the Pallas
+        # kernel (rasterize_plan_k_tiled skips every [H, W] roundtrip),
+        # the accept domain compacts at TILE granularity (cumsum over
+        # ~510 tiles, ~free), and each tier's alpha evaluation runs over
+        # the gathered [tcap, th, tw] tiles.  The tier ladder's TOP tier
+        # is the full grid, so the accept needs no dense fallback and no
+        # cap-miss accounting — exact by construction on every path.
+        #
         # CONTINUATION ROUNDS: round 0 keeps cfg.masked_peels strict peel
         # layers from ONE record pass; pixels whose reject chains run
         # deeper re-enter the SAME record stream in tile-gated tail
-        # rounds (counts zeroed for tiles with no pending pixel — the
-        # pending tail concentrates in a handful of foliage tiles, so a
-        # tail round rasters a few % of the records) with
-        # floor = the deepest already-peeled layer.  This resolves
+        # rounds with floor = the deepest already-peeled layer, so
         # 20+-layer grazing stacks (the replica's aligned thorn-bush row)
-        # without one tall insertion stack whose per-fragment cost grows
-        # with k.  Acceptance gating happens here in XLA-land: layer k's
-        # alpha runs only where every nearer layer was
-        # found-and-rejected — the exact domain the iterated peel-k
-        # raster would have found.  The final round's extra layer is the
-        # honest-cap probe (VERDICT r1 #6).
+        # resolve without one tall insertion stack.  The final round's
+        # extra layer is the honest-cap probe (VERDICT r1 #6).
+        from ..ops.common import compact_mask
+        from ..ops.raster_pallas import _from_tiles, _to_tiles
+        rows_t = cdiv(h, cfg.tile_h)
+        cols_t = cdiv(w, cfg.tile_w)
+        th, tw = cfg.tile_h, cfg.tile_w
+        n_tile = rows_t * cols_t
         rounds = 1 + max(0, cfg.masked_tail_rounds)
         peel_plan = [cfg.masked_peels] + \
             [cfg.masked_tail_peels] * (rounds - 1)
-        bound0 = depth
-        rows_t = cdiv(h, cfg.tile_h)
-        cols_t = cdiv(w, cfg.tile_w)
 
-        def accept_layers(layers, peels_r, base_peel, carry, probe):
-            depth, tid, pending, deepest, fallback = carry
+        depth_t = _to_tiles(depth, rows_t, cols_t, th, tw, 2.0)
+        tid_t = _to_tiles(tid, rows_t, cols_t, th, tw, -1)
+        bound_t0 = depth_t
+        # frame-extent mask: tile padding rows/cols must never enter the
+        # accept domain or the overflow probe (trace-time constant)
+        valid_t = _to_tiles(jnp.ones((h, w), bool), rows_t, cols_t, th, tw,
+                            False)
+        tiers = tuple(t for t in cfg.masked_tile_tiers if t < n_tile) \
+            + (n_tile,)
+
+        def eval_tiles(lt_t, dom, tcap):
+            tsel, _ = compact_mask(dom.any(axis=(1, 2)), tcap)
+            selc = jnp.maximum(tsel, 0)
+            okm = (tsel >= 0)[:, None, None]
+            dom_s = dom[selc] & okm
+            t2_f = jnp.where(dom_s, lt_t[selc], -1).reshape(-1)
+            tx = (selc % cols_t).astype(jnp.float32)
+            ty = (selc // cols_t).astype(jnp.float32)
+            px = (tx[:, None, None] * tw + 0.5
+                  + jax.lax.broadcasted_iota(jnp.float32, (1, th, tw), 2))
+            py = (ty[:, None, None] * th + 0.5
+                  + jax.lax.broadcasted_iota(jnp.float32, (1, th, tw), 1))
+            px_f = jnp.broadcast_to(px, (tcap, th, tw)).reshape(-1)
+            py_f = jnp.broadcast_to(py, (tcap, th, tw)).reshape(-1)
+            if use_state:
+                unc_cap = max(8192, (tcap * th * tw) // 4)
+                acc_f, over = _masked_accept_state(scene, t2_f, px_f,
+                                                   py_f, ptbl_a, unc_cap)
+            else:
+                alpha = _winner_alpha(scene, t2_f, rows, vattr, px_f,
+                                      py_f, ptbl, ptbl_a=ptbl_a)
+                acc_f = alpha >= 0.5
+                over = jnp.int32(0)
+            acc_s = acc_f.reshape(tcap, th, tw) & dom_s
+            tgt = jnp.where(tsel >= 0, tsel, n_tile)
+            acc_full = jnp.zeros((n_tile, th, tw), bool).at[tgt].set(
+                acc_s, mode="drop")
+            return acc_full, over
+
+        def accept_tiles(lt_t, dom):
+            n_t = jnp.sum(dom.any(axis=(1, 2)).astype(jnp.int32))
+
+            def build(i):
+                if tiers[i] >= n_tile:
+                    return lambda _x: eval_tiles(lt_t, dom, n_tile)
+                return lambda x: jax.lax.cond(
+                    n_t <= tiers[i],
+                    lambda _u: eval_tiles(lt_t, dom, tiers[i]),
+                    build(i + 1), x)
+
+            return jax.lax.cond(
+                n_t == 0,
+                lambda _x: (jnp.zeros((n_tile, th, tw), bool),
+                            jnp.int32(0)),
+                build(0), 0)
+
+        def accept_layers(layers, peels_r, carry, probe):
+            depth_t, tid_t, pending, deepest, fallback = carry
             for k in range(peels_r):
                 ld, lt = layers[k]
-                domain = pending & (lt >= 0)
-                t2 = jnp.where(domain, lt, -1)
-                n_found = jnp.sum(domain.astype(jnp.int32))
-                accept_flat, over = tiered_accept(t2, n_found, base_peel + k)
-                fallback = fallback + over + jnp.maximum(
-                    n_found - ladder_max(base_peel + k), 0)
-                accept = domain & accept_flat.reshape(h, w)
-                depth = jnp.where(accept, ld, depth)
-                tid = jnp.where(accept, lt, tid)
-                pending = domain & ~accept
-                deepest = jnp.where(domain, ld, deepest)
+                dom = pending & (lt >= 0)
+                acc, over = accept_tiles(lt, dom)
+                fallback = fallback + over
+                depth_t = jnp.where(acc, ld, depth_t)
+                tid_t = jnp.where(acc, lt, tid_t)
+                pending = dom & ~acc
+                deepest = jnp.where(dom, ld, deepest)
             if probe:
                 p = jnp.sum((pending & (layers[-1][1] >= 0))
                             .astype(jnp.int32))
             else:
                 p = jnp.int32(0)
-            return (depth, tid, pending, deepest, fallback), p
+            return (depth_t, tid_t, pending, deepest, fallback), p
 
         # round 0: always runs, over the full record stream
         last0 = rounds == 1
-        layers = raster.rasterize_plan_k(
+        layers = raster.rasterize_plan_k_tiled(
             plan_m, padded, w, h, n_tris, peel_plan[0] + (1 if last0 else 0),
-            bound0, tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-            chunk=cfg.masked_chunk)
-        carry = (depth, tid, jnp.ones((h, w), bool),
-                 jnp.zeros((h, w), jnp.float32), fallback)
-        carry, peel_ovf = accept_layers(layers, peel_plan[0], 0, carry,
+            bound_t0, tile_w=tw, tile_h=th, chunk=cfg.masked_chunk)
+        carry = (depth_t, tid_t, valid_t,
+                 jnp.zeros((n_tile, th, tw), jnp.float32), fallback)
+        carry, peel_ovf = accept_layers(layers, peel_plan[0], carry,
                                         probe=last0)
 
         # tail rounds: SKIPPED by lax.cond when nothing is pending (the
         # common case once chains resolve) — a run round re-enters the
-        # record stream tile-gated (counts zeroed where no pixel pends)
-        base = peel_plan[0]
+        # record stream over the compacted pending tiles
         for r in range(1, rounds):
             peels_r = peel_plan[r]
             last = r == rounds - 1
 
-            def run_round(carry, peels_r=peels_r, last=last, base=base):
-                depth, tid, pending, deepest, fallback = carry
-                pend_pad = jnp.pad(
-                    pending, ((0, rows_t * cfg.tile_h - h),
-                              (0, cols_t * cfg.tile_w - w)))
-                pend_tiles = pend_pad.reshape(
-                    rows_t, cfg.tile_h, cols_t, cfg.tile_w).any(axis=(1, 3))
-                floor = jnp.where(pending, deepest, 2.0)
+            def run_round(carry, peels_r=peels_r, last=last):
+                depth_t, tid_t, pending, deepest, fallback = carry
+                pend_tiles = pending.any(axis=(1, 2))
+                floor_t = jnp.where(pending, deepest, 2.0)
                 k_r = peels_r + (1 if last else 0)
 
                 def full_grid(args):
-                    floor, _ = args
+                    floor_t, _ = args
                     plan_r = dict(plan_m)
-                    plan_r["counts"] = jnp.where(pend_tiles,
-                                                 plan_m["counts"], 0)
-                    return raster.rasterize_plan_k(
-                        plan_r, padded, w, h, n_tris, k_r, bound0,
-                        tile_w=cfg.tile_w, tile_h=cfg.tile_h,
-                        chunk=cfg.masked_chunk, floor_depth=floor)
+                    plan_r["counts"] = jnp.where(
+                        pend_tiles.reshape(plan_m["counts"].shape),
+                        plan_m["counts"], 0)
+                    return raster.rasterize_plan_k_tiled(
+                        plan_r, padded, w, h, n_tris, k_r, bound_t0,
+                        tile_w=tw, tile_h=th, chunk=cfg.masked_chunk,
+                        floor_t=floor_t)
 
                 if "records" in plan_m:
-                    # compact-tile round: the pending set concentrates
-                    # in a few tiles — run the kernel grid over ONLY
-                    # those (the full grid's per-tile program overhead
-                    # made a gated round cost ~120 ms at 1080p); exact
-                    # full-grid fallback when they exceed the cap
-                    from ..ops.common import compact_mask
                     n_pt = jnp.sum(pend_tiles.astype(jnp.int32))
-                    tsel, _ = compact_mask(pend_tiles.reshape(-1),
+                    tsel, _ = compact_mask(pend_tiles,
                                            cfg.masked_tail_tile_cap)
 
                     def subset(args):
-                        floor, tsel = args
-                        return raster.rasterize_plan_k_subset(
-                            plan_m, w, h, n_tris, k_r, bound0, floor,
-                            tsel, tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+                        floor_t, tsel = args
+                        return raster.rasterize_layers_subset_tiled(
+                            plan_m, n_tris, k_r, bound_t0, floor_t, tsel,
+                            tile_w=tw, tile_h=th)
 
                     layers = jax.lax.cond(
                         n_pt <= cfg.masked_tail_tile_cap, subset,
-                        full_grid, (floor, tsel))
+                        full_grid, (floor_t, tsel))
                 else:
-                    layers = full_grid((floor, None))
-                return accept_layers(layers, peels_r, base, carry,
-                                     probe=last)
+                    layers = full_grid((floor_t, None))
+                return accept_layers(layers, peels_r, carry, probe=last)
 
             n_pend = jnp.sum(carry[2].astype(jnp.int32))
             carry, p_r = jax.lax.cond(
                 n_pend > 0, run_round,
                 lambda c: (c, jnp.int32(0)), carry)
             peel_ovf = peel_ovf + p_r
-            base += peels_r
-        depth, tid, _pending, _deepest, fallback = carry
+        depth_t, tid_t, _pending, _deepest, fallback = carry
+        depth = _from_tiles(depth_t.reshape(rows_t, cols_t, th, tw)
+                            )[:h, :w]
+        tid = _from_tiles(tid_t.reshape(rows_t, cols_t, th, tw))[:h, :w]
         return depth, tid, peel_ovf, fallback
 
     floor = None
@@ -1000,8 +1071,13 @@ def build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos):
     [T+1, 48] row carrying edge planes, anchor, corner attributes and
     material scalars, so per-pixel interpolation is ONE wide row-gather
     (interp.build_packed_rows).  Colorless layout only (vpos None);
-    returns None when the flag is off — bit-identical output either way."""
+    returns None when the flag is off — bit-identical output either way.
+    Scenes with custom glTF samplers also fall back to narrow rows: the
+    general sampler path needs per-pixel texture IDS (ops/texture.
+    _sample_general), which the packed row replaces with meta."""
     if not (cfg.packed_rows and vpos is None):
+        return None
+    if getattr(scene.textures, "has_custom_samplers", False):
         return None
     # cols 7:11 — BOTH textures' meta descriptors (base offset + packed
     # w0/h0/levels/srgb, texture.packed_meta_cols) ride the row too,
@@ -1037,7 +1113,11 @@ def build_alpha_ptbl(scene, padded, tris_p, tri_mat_p, vattr):
         x.astype(jnp.int32), jnp.float32)
     cols = [i2f(base_t[aid]), i2f(pack_t[aid])]
     if getattr(scene.textures, "alpha_state_base", None) is not None:
-        cols.append(i2f(scene.textures.alpha_state_base[aid]))
+        # guard-bit encoding (tex.F32_GUARD_BIT): plain cell indices are
+        # denormal f32 patterns and TPU moves flush them to zero.
+        # sbase + 1 < 2^28, so exponent bits 28-29 stay clear — never NaN
+        enc = (scene.textures.alpha_state_base[aid] + 1) | tex.F32_GUARD_BIT
+        cols.append(i2f(enc))
     mat_alpha = jnp.stack(cols, axis=-1)[tri_mat_p]
     return interp.build_alpha_rows(padded, tris_p, vattr, mat_alpha)
 

@@ -99,13 +99,13 @@ def build_packed_rows(setup_padded: dict, tris_p, tri_mat_p,
                see frame.build_ptbl)
       ..48   zero pad
 
-    HAZARD: mat_rows columns 7:11 hold i32 HEAP OFFSETS bitcast into f32
-    lanes — offsets below 2^23 are denormal f32 bit patterns.  They must
-    only ever MOVE (stack / gather / slice, all bit-preserving) until the
-    consumer bitcasts them back (frame._build_gbuffer / _winner_alpha);
-    any arithmetic, masking against 0.0, or dtype promotion on the packed
-    table's material columns would flush them to zero silently.  If ptbl
-    ever gains post-processing, switch these columns to an i32 side table.
+    HAZARD: mat_rows columns 7:11 hold i32 descriptors bitcast into f32
+    lanes.  TPU vector moves FLUSH DENORMAL patterns (measured — round 5
+    found plain sub-2^23 integers zeroed by the stack/gather chain
+    itself), so every such value MUST carry the ops/texture.F32_GUARD_BIT
+    exponent-bit encoding (packed_meta_cols does) and must only ever MOVE
+    (stack / gather / slice) until the consumer bitcasts it back; any
+    arithmetic or dtype promotion on these columns corrupts them.
 
     Built per frame from per-TRIANGLE gathers (3 vattr row-gathers + one
     material row-gather over T+1 rows — ~8x fewer indices than a single

@@ -172,6 +172,74 @@ def rasterize_plan_k(plan: dict, setup_padded: dict, width: int, height: int,
     return layers
 
 
+def rasterize_plan_k_tiled(plan: dict, setup_padded: dict, width: int,
+                           height: int, sentinel: int, k_layers: int,
+                           bound_t: jax.Array, tile_w: int = 128,
+                           tile_h: int = 32, chunk: int = 16,
+                           floor_t: jax.Array | None = None):
+    """rasterize_plan_k in TILE space: ``bound_t``/``floor_t`` and the
+    returned layers are [n_tiles, tile_h, tile_w] (row-major tile order).
+    The records path feeds rasterize_layers_grid directly — the layers
+    are BORN tiled in the kernel, so the round-5 tile-space masked pass
+    skips every per-layer [H, W] <-> tile conversion.  The XLA reference
+    path converts around rasterize_plan_k (tests; bit-identical)."""
+    rows = cdiv(height, tile_h)
+    cols = cdiv(width, tile_w)
+    if "records" in plan:
+        from .raster_pallas import rasterize_layers_grid
+        outs = rasterize_layers_grid(
+            plan["records"], plan["rec_start"], plan["counts"].reshape(-1),
+            bound_t, floor_t, sentinel, k_layers, tile_w=tile_w,
+            tile_h=tile_h)
+        layers = []
+        for k in range(k_layers):
+            i = outs[2 * k + 1]
+            layers.append((outs[2 * k], jnp.where(i == sentinel, -1, i)))
+        return layers
+    from .raster_pallas import _from_tiles, _to_tiles
+    bound = _from_tiles(bound_t.reshape(rows, cols, tile_h, tile_w)
+                        )[:height, :width]
+    floor = None
+    if floor_t is not None:
+        floor = _from_tiles(floor_t.reshape(rows, cols, tile_h, tile_w)
+                            )[:height, :width]
+    layers = rasterize_plan_k(plan, setup_padded, width, height, sentinel,
+                              k_layers, bound, tile_w=tile_w, tile_h=tile_h,
+                              chunk=chunk, floor_depth=floor)
+    return [(_to_tiles(d, rows, cols, tile_h, tile_w, 2.0),
+             _to_tiles(t, rows, cols, tile_h, tile_w, -1))
+            for d, t in layers]
+
+
+def rasterize_layers_subset_tiled(plan: dict, sentinel: int, k_layers: int,
+                                  bound_t: jax.Array, floor_t: jax.Array,
+                                  tile_sel: jax.Array, tile_w: int = 128,
+                                  tile_h: int = 32):
+    """K-layer peel over ONLY the tiles in ``tile_sel`` ([TCAP] flat tile
+    indices, -1 padding), tile-space in AND out — the tail-round form of
+    rasterize_plan_k_tiled.  Unselected tiles return empty layers
+    (2.0 / -1).  Records path only."""
+    from .raster_pallas import rasterize_layers_grid
+    counts = plan["counts"].reshape(-1)
+    n_tiles = counts.shape[0]
+    selc = jnp.clip(tile_sel, 0, n_tiles - 1)
+    ok = tile_sel >= 0
+    counts_c = jnp.where(ok, jnp.take(counts, selc), 0)
+    start_c = jnp.take(plan["rec_start"], selc)
+    outs = rasterize_layers_grid(
+        plan["records"], start_c, counts_c, bound_t[selc], floor_t[selc],
+        sentinel, k_layers, tile_w=tile_w, tile_h=tile_h)
+    tgt = jnp.where(ok, tile_sel, n_tiles)
+    layers = []
+    for k in range(k_layers):
+        d_full = jnp.full((n_tiles, tile_h, tile_w), 2.0, jnp.float32
+                          ).at[tgt].set(outs[2 * k], mode="drop")
+        i_full = jnp.full((n_tiles, tile_h, tile_w), sentinel, jnp.int32
+                          ).at[tgt].set(outs[2 * k + 1], mode="drop")
+        layers.append((d_full, jnp.where(i_full == sentinel, -1, i_full)))
+    return layers
+
+
 def rasterize_plan_k_subset(plan: dict, width: int, height: int,
                             sentinel: int, k_layers: int, bound: jax.Array,
                             floor_depth: jax.Array, tile_sel: jax.Array,

@@ -155,6 +155,95 @@ def compute_lod(textures, tex_id, dudx, dvdx, dudy, dvdy):
         max_level
 
 
+WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR = 0, 1, 2
+
+
+def _wrap_index(i, n, wmode):
+    """Per-texel-index Vulkan address modes (wmode i32 planar):
+    0 REPEAT (mod), 1 CLAMP_TO_EDGE (clip), 2 MIRRORED_REPEAT
+    (fold each period; Vulkan's per-index transform)."""
+    rep = jnp.mod(i, n)
+    clp = jnp.clip(i, 0, n - 1)
+    m = jnp.mod(i, 2 * n)
+    mir = jnp.where(m >= n, 2 * n - 1 - m, m)
+    return jnp.where(wmode == WRAP_CLAMP, clp,
+                     jnp.where(wmode == WRAP_MIRROR, mir, rep))
+
+
+def _sample_general(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
+                    channels, meta):
+    """Per-sampler-state sampling path (VERDICT r4 task 6): honors the
+    glTF sampler the reference PARSES at src/vk_loader.cpp:253-270 —
+    mag/min NEAREST vs LINEAR, mipmap mode NEAREST vs LINEAR,
+    REPEAT / CLAMP_TO_EDGE / MIRRORED_REPEAT wrap per axis (mode bits:
+    scene/textures.gltf_sampler_mode).  Compiled only for scenes with a
+    non-default sampler (TextureTable.has_custom_samplers static flag);
+    costs 4 single-texel gathers per bilinear (the quad-interleaved rows
+    bake REPEAT neighbors, wrong at clamp/mirror seams) — the
+    default-sampler scene class keeps the 1-gather quad path.
+
+    Vulkan semantics: filter = magFilter where lambda <= 0 else
+    minFilter; NEAREST filter reads texel floor(u*w) (no half-texel
+    shift); mipmap NEAREST level = ceil(lambda + 0.5) - 1.  NEAREST
+    filtering and NEAREST mip selection are folded into the bilinear /
+    two-level form as degenerate cases (fx = 0, l1 = l0), so one code
+    path serves every mode combination."""
+    w0, h0, max_level, srgb, w0i, h0i, base = (
+        meta if meta is not None else _meta_take(textures, tex_id))
+    mode = jnp.take(textures.sampler_modes, tex_id)
+    mag_n = (mode & 1) > 0
+    min_n = (mode & 2) > 0
+    mip_n = (mode & 4) > 0
+    wrap_s = (mode >> 3) & 3
+    wrap_t = (mode >> 5) & 3
+
+    lam = _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy)
+    f_nearest = jnp.where(lam <= 0.0, mag_n, min_n)
+    max_l = max_level.astype(jnp.int32)
+    # mip level(s): NEAREST folds to l1 == l0, frac = 0
+    d_near = jnp.clip(jnp.ceil(lam + 0.5).astype(jnp.int32) - 1, 0, max_l)
+    l0 = jnp.where(mip_n, d_near, jnp.floor(lam).astype(jnp.int32))
+    l1 = jnp.where(mip_n, d_near, jnp.minimum(l0 + 1, max_l))
+    frac = jnp.where(mip_n, 0.0, lam - jnp.floor(lam))
+
+    flat = textures.texels.reshape(-1, 4)
+
+    def level(li):
+        off, wi, hi = _desc_from_meta(base, w0i, h0i, li)
+        wf = wi.astype(jnp.float32)
+        hf = hi.astype(jnp.float32)
+        xb = u * wf - 0.5
+        yb = v * hf - 0.5
+        xn = jnp.floor(u * wf)
+        yn = jnp.floor(v * hf)
+        x0 = jnp.where(f_nearest, xn, jnp.floor(xb)).astype(jnp.int32)
+        y0 = jnp.where(f_nearest, yn, jnp.floor(yb)).astype(jnp.int32)
+        fx = jnp.where(f_nearest, 0.0, xb - jnp.floor(xb))
+        fy = jnp.where(f_nearest, 0.0, yb - jnp.floor(yb))
+        i0 = _wrap_index(x0, wi, wrap_s)
+        i1 = _wrap_index(x0 + 1, wi, wrap_s)
+        j0 = _wrap_index(y0, hi, wrap_t)
+        j1 = _wrap_index(y0 + 1, hi, wrap_t)
+        # lane 0 of each texel's quad row is the texel itself
+        p00 = flat[off + j0 * wi + i0][..., 0]
+        p10 = flat[off + j0 * wi + i1][..., 0]
+        p01 = flat[off + j1 * wi + i0][..., 0]
+        p11 = flat[off + j1 * wi + i1][..., 0]
+        out = []
+        for (t00, t10, t01, t11) in zip(_unpack_rgba8(p00, srgb, channels),
+                                        _unpack_rgba8(p10, srgb, channels),
+                                        _unpack_rgba8(p01, srgb, channels),
+                                        _unpack_rgba8(p11, srgb, channels)):
+            top = t00 + (t10 - t00) * fx
+            bot = t01 + (t11 - t01) * fx
+            out.append(top + (bot - top) * fy)
+        return tuple(out)
+
+    c0 = level(l0)
+    c1 = level(l1)
+    return tuple(a + (b - a) * frac for a, b in zip(c0, c1))
+
+
 def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
                      channels=(0, 1, 2, 3), nearest_mip: bool = False,
                      meta=None):
@@ -168,7 +257,19 @@ def sample_trilinear(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
 
     ``meta``: the _meta_take 7-tuple when the caller already has it (the
     fused material+meta row, shade.shade_pbr) — skips the per-pixel
-    [T, 5] meta row-gather; ``tex_id`` is then unused."""
+    [T, 5] meta row-gather; ``tex_id`` is then unused.
+
+    Scenes carrying a non-default glTF sampler (has_custom_samplers)
+    route through the general per-sampler path — which needs ``tex_id``
+    (the packed-row builders return None for such scenes, so every
+    caller passes ids there)."""
+    if getattr(textures, "has_custom_samplers", False):
+        assert tex_id is not None, \
+            "custom-sampler scenes must sample by texture id"
+        assert not nearest_mip, \
+            "mr_nearest_mip knob is not supported with custom samplers"
+        return _sample_general(textures, tex_id, u, v, dudx, dvdx, dudy,
+                               dvdy, channels, meta)
     w0, h0, max_level, srgb, w0b, h0b, base = (
         meta if meta is not None else _meta_take(textures, tex_id))
     lam = _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy)
@@ -245,17 +346,32 @@ def alpha_state_lookup(states, u, v, dudx, dvdx, dudy, dvdy, meta, sbase):
     return jnp.where(sbase >= 0, st, 0)
 
 
+F32_GUARD_BIT = 1 << 30
+# i32 values bitcast into f32 table lanes MUST carry a set exponent bit:
+# TPU vector moves/selects FLUSH DENORMALS, so any bit pattern with
+# exponent bits 23-30 all zero (every plain int < 2^23) is silently
+# zeroed riding an f32 row table (measured: the alpha-state-base column
+# read back 0 for every pixel on TPU while CPU was exact).  Setting bit
+# 30 makes every encoded value a normal-range f32; the layouts below
+# provably never form an all-ones exponent (NaN) either, so the patterns
+# survive moves bit-exactly.
+
+
 def packed_meta_cols(textures):
     """Per-texture (base_off, packed_meta) i32 columns for fusing texture
-    meta into wider material rows (shade_pbr's fused_mat_meta path):
-    ``packed_meta = w0 | h0 << 13 | max_level << 26 | srgb << 30``
-    (w0, h0 <= 8191; max_level <= 15 — MAX_MIPS is 13).  Trace-time
-    elementwise over the texture table, ~free."""
+    meta into material/interp rows — DENORMAL-SAFE for f32-lane transport
+    (see F32_GUARD_BIT):
+    ``packed_meta = w0 | h0 << 13 | max_level << 26 | 1 << 30 | srgb << 31``
+    (w0, h0 <= 8191; max_level <= 12 since MAX_MIPS is 13, so the level
+    field can never be 15 and exponent bits 26-29 never go all-ones —
+    the pattern is never NaN); ``base_enc = base | 1 << 30`` (base < 2^29
+    asserted at heap build, so exponent bits 23-29 never go all-ones).
+    Trace-time elementwise over the texture table, ~free."""
     w0 = textures.mip_sizes[:, 0, 0]
     h0 = textures.mip_sizes[:, 0, 1]
     pack = (w0 | (h0 << 13) | ((textures.n_mips - 1) << 26)
-            | (textures.srgb_flags << 30))
-    return textures.mip_offsets[:, 0], pack
+            | F32_GUARD_BIT | (textures.srgb_flags << 31))
+    return textures.mip_offsets[:, 0] | F32_GUARD_BIT, pack
 
 
 def unpack_meta(base, pack):
@@ -264,9 +380,10 @@ def unpack_meta(base, pack):
     w0i = pack & 0x1FFF
     h0i = (pack >> 13) & 0x1FFF
     lvl = (pack >> 26) & 0xF
-    srgb = ((pack >> 30) & 1) > 0
+    srgb = ((pack >> 31) & 1) > 0
+    base_off = base & (F32_GUARD_BIT - 1)
     return (w0i.astype(jnp.float32), h0i.astype(jnp.float32),
-            lvl.astype(jnp.float32), srgb, w0i, h0i, base)
+            lvl.astype(jnp.float32), srgb, w0i, h0i, base_off)
 
 
 def sample_bilinear_lod0(textures, tex_id, u, v, channels=(0, 1, 2, 3)):

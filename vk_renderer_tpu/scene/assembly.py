@@ -128,20 +128,35 @@ class SceneBuilder:
         asset = GltfAsset.load(path)
         j = asset.json
 
-        # images -> bindless slots (vk_loader.cpp:272-329)
-        texture_indices: list[int] = []
-        for i in range(len(j.get("images", []))):
-            rgba = asset.decode_image(i)
-            if rgba is not None:
-                texture_indices.append(self.heap.add(rgba, srgb=True, mipmapped=True))
-            else:
-                texture_indices.append(self.error_texture())
+        # images decode once (vk_loader.cpp:272-329); heap slots are
+        # created per (image, sampler-mode) pair lazily below, so a glTF
+        # texture's sampler state (vk_loader.cpp:253-270 — parsed by the
+        # reference but never bound; honored here, VERDICT r4 task 6)
+        # rides the slot
+        decoded: dict[int, np.ndarray | None] = {}
+        slot_cache: dict[tuple[int, int], int] = {}
+        samplers = j.get("samplers", [])
 
         def image_slot(tex_index: int) -> int:
-            img_idx = j["textures"][tex_index].get("source")
+            gtex = j["textures"][tex_index]
+            img_idx = gtex.get("source")
             if img_idx is None:
                 return self.default_ids["white"]
-            return texture_indices[img_idx]
+            from .textures import gltf_sampler_mode
+            mode = 0
+            if "sampler" in gtex and gtex["sampler"] < len(samplers):
+                mode = gltf_sampler_mode(samplers[gtex["sampler"]])
+            key = (img_idx, mode)
+            if key in slot_cache:
+                return slot_cache[key]
+            if img_idx not in decoded:
+                decoded[img_idx] = asset.decode_image(img_idx)
+            rgba = decoded[img_idx]
+            slot = (self.error_texture() if rgba is None
+                    else self.heap.add(rgba, srgb=True, mipmapped=True,
+                                       sampler_mode=mode))
+            slot_cache[key] = slot
+            return slot
 
         # materials (vk_loader.cpp:331-367)
         material_ids: list[int] = []
@@ -319,7 +334,11 @@ class SceneBuilder:
             cu = uvs_a[mt.reshape(-1), 0].reshape(-1, 3)
             cv = uvs_a[mt.reshape(-1), 1].reshape(-1, 3)
             _, amax = tri_alpha_bounds(self.heap, tex_of, cu, cv)
-            never = amax < 0.5
+            # the bounds (and the baked states below) model the default
+            # trilinear+REPEAT sampler; custom-sampler albedo slots stay
+            # conservatively can-pass / uncertain
+            modes_of = np.array(self.heap._modes, np.int32)[tex_of]
+            never = (amax < 0.5) & (modes_of == 0)
             order = np.argsort(never, kind="stable")   # can-pass first
             tris_a[lo:hi] = mt[order]
             mats_a[lo:hi] = mm[order]
@@ -327,8 +346,10 @@ class SceneBuilder:
             # bake the 3-state alpha-coverage pyramid for the masked
             # albedo textures: the peel loop resolves most accept/reject
             # decisions from ONE packed-bit gather instead of a trilinear
-            alpha_states, alpha_state_base = build_alpha_states(
-                self.heap, np.unique(tex_of))
+            default_tex = np.unique(tex_of[modes_of == 0])
+            if default_tex.size:
+                alpha_states, alpha_state_base = build_alpha_states(
+                    self.heap, default_tex)
 
         scene = SceneArrays(
             positions=np.concatenate(positions) if positions else np.zeros((0, 3), np.float32),

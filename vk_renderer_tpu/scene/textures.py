@@ -60,14 +60,50 @@ def generate_mips(level0: np.ndarray) -> list[np.ndarray]:
     return mips
 
 
+# Per-slot sampler mode bits (SamplerModes), honoring glTF per-sampler
+# state (VERDICT r4 task 6; the reference CREATES these VkSamplers,
+# src/vk_loader.cpp:253-270, but then binds _defaultSamplerLinear to every
+# bindless slot at :320 — so mode 0 IS actual-reference behavior, and
+# nonzero modes are the rebuild honoring what the loader parsed):
+#   bit 0: mag filter NEAREST        bit 1: min filter NEAREST
+#   bit 2: mipmap mode NEAREST       bits 3-4: wrapS  bits 5-6: wrapT
+# wrap values: 0 REPEAT, 1 CLAMP_TO_EDGE, 2 MIRRORED_REPEAT
+WRAP_REPEAT, WRAP_CLAMP, WRAP_MIRROR = 0, 1, 2
+
+
+def gltf_sampler_mode(sampler: dict) -> int:
+    """glTF sampler dict -> mode bits.  Explicit NEAREST filters are
+    honored; ABSENT fields fall back to the default-sampler behavior
+    (linear/linear/mip-linear, REPEAT) — the reference's dead
+    per-sampler code maps absent to Nearest (value_or(Nearest),
+    vk_loader.cpp:258-260) but its BOUND sampler is always the linear
+    default, so the actual-behavior default is linear (documented
+    deviation from dead code)."""
+    mag = sampler.get("magFilter")
+    mn = sampler.get("minFilter")
+    mode = 0
+    if mag == 9728:                         # NEAREST
+        mode |= 1
+    if mn in (9728, 9984, 9986):            # NEAREST* minification
+        mode |= 2
+    if mn in (9984, 9985):                  # *_MIPMAP_NEAREST
+        mode |= 4
+    wraps = {10497: WRAP_REPEAT, 33071: WRAP_CLAMP, 33648: WRAP_MIRROR}
+    mode |= wraps.get(sampler.get("wrapS", 10497), WRAP_REPEAT) << 3
+    mode |= wraps.get(sampler.get("wrapT", 10497), WRAP_REPEAT) << 5
+    return mode
+
+
 class TextureHeapBuilder:
     """Accumulates textures into the flat heap (the bindless table analog)."""
 
     def __init__(self):
         self._textures: list[list[np.ndarray]] = []   # per texture: list of mips
         self._srgb: list[bool] = []
+        self._modes: list[int] = []    # per-slot sampler mode bits (0=default)
 
-    def add(self, rgba_u8: np.ndarray, *, srgb: bool, mipmapped: bool) -> int:
+    def add(self, rgba_u8: np.ndarray, *, srgb: bool, mipmapped: bool,
+            sampler_mode: int = 0) -> int:
         """Add an RGBA8 image; returns its bindless index.  Uses the native
         C++ texture pipeline (native/texops.cpp) when built, NumPy otherwise
         — outputs are identical (tests assert parity)."""
@@ -103,6 +139,7 @@ class TextureHeapBuilder:
                 "4096^2, vk_engine_init.cpp:226)")
         self._textures.append(mips)
         self._srgb.append(bool(srgb))
+        self._modes.append(int(sampler_mode))
         return len(self._textures) - 1
 
     def add_solid(self, rgba: tuple[float, float, float, float]) -> int:
@@ -110,6 +147,7 @@ class TextureHeapBuilder:
         px = np.array([[list(rgba)]], dtype=np.float32)
         self._textures.append([px])
         self._srgb.append(False)
+        self._modes.append(0)
         return len(self._textures) - 1
 
     def min_alpha(self, index: int) -> float:
@@ -160,14 +198,19 @@ class TextureHeapBuilder:
             for m in range(len(mips), MAX_MIPS):
                 offsets[t, m] = offsets[t, len(mips) - 1]
                 sizes[t, m] = sizes[t, len(mips) - 1]
-        # heap offsets ride i32 descriptor tables (and the packed rows
-        # bitcast them through f32 lanes): the quad-row cursor must fit
-        assert cursor < 2**31, "texture heap exceeds int32 addressing"
+        # heap offsets ride i32 descriptor tables AND, guard-bit-encoded,
+        # f32 packed-row lanes (ops/texture.packed_meta_cols): the
+        # quad-row cursor must stay below the 2^29 encoding bound
+        assert cursor < 2**29, \
+            "texture heap exceeds the packed-meta offset range"
         texels = (np.concatenate(chunks) if chunks
                   else np.zeros((4,), dtype=np.uint32))
+        modes = np.array(self._modes, np.int32)
         return TextureTable(texels=texels, mip_offsets=offsets,
                             mip_sizes=sizes, n_mips=n_mips,
-                            srgb_flags=srgb_flags)
+                            srgb_flags=srgb_flags,
+                            sampler_modes=modes,
+                            has_custom_samplers=bool((modes != 0).any()))
 
 
 def _minmax_pyramids(a: np.ndarray):
@@ -389,7 +432,12 @@ def build_alpha_states(heap: TextureHeapBuilder, tex_ids) -> tuple:
 
     for t in sorted(set(int(x) for x in tex_ids)):
         mips = heap._textures[t]
-        aqs = [np.round(np.clip(m[..., 3], 0.0, 1.0) * 255.0)
+        # EXACTLY the heap's quantization — build() stores
+        # ``(f*255 + 0.5).astype(uint)`` (round-half-UP); np.round would
+        # send exact halves (common in mips of binary alpha: (255+255+0+0)/4
+        # = 127.5) to even instead, mis-classifying the 127.5 -> 128 texels
+        # as certain-reject
+        aqs = [np.floor(np.clip(m[..., 3], 0.0, 1.0) * 255.0 + 0.5)
                .astype(np.float32) / np.float32(255.0) for m in mips]
         sbase[t] = cursor
         for l, aq in enumerate(aqs):
@@ -411,6 +459,10 @@ def build_alpha_states(heap: TextureHeapBuilder, tex_ids) -> tuple:
             cursor += pair.size
     if not chunks:
         return np.zeros(1, np.uint32), sbase
+    # cell indices ride f32 packed-row lanes guard-bit-encoded as
+    # (sbase + 1) | 1<<30 (frame.build_alpha_ptbl) — payload must fit 28
+    # bits so the encoding is never NaN
+    assert cursor < 2**28, "alpha-state table exceeds the encoding range"
     cells = np.concatenate(chunks)
     n_words = -(-cells.size // 8)
     padded = np.zeros(n_words * 8, np.uint32)

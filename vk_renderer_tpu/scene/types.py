@@ -59,6 +59,14 @@ class TextureTable:
     # materials carry one.
     alpha_states: np.ndarray = None      # u32[W]
     alpha_state_base: np.ndarray = None  # i32[T]
+    # per-slot sampler mode bits (scene/textures.py gltf_sampler_mode);
+    # 0 = the reference's actual bound sampler (trilinear + REPEAT).
+    # ``has_custom_samplers`` is STATIC (pytree aux): True compiles the
+    # general sampler path (per-pixel filter/wrap selection, 4 single
+    # gathers per bilinear instead of 1 quad-row) — scenes whose
+    # samplers are all default pay nothing.
+    sampler_modes: np.ndarray = None     # i32[T]
+    has_custom_samplers: bool = False
 
 
 @dataclass
@@ -152,7 +160,9 @@ class SceneArrays:
                 srgb_flags=put(tex.srgb_flags),
                 alpha_states=(put(tex.alpha_states.view(np.int32))
                               if tex.alpha_states is not None else None),
-                alpha_state_base=put(tex.alpha_state_base))
+                alpha_state_base=put(tex.alpha_state_base),
+                sampler_modes=put(tex.sampler_modes),
+                has_custom_samplers=tex.has_custom_samplers)
         cubemap = None
         if self.cubemap is not None:
             cubemap = put(quad_pack_cubemap(pack_rgb9e5(self.cubemap)))
@@ -239,11 +249,13 @@ def register_pytrees():
                            n_masked_raster=aux[3])
 
     def tex_flatten(t: TextureTable):
-        return (t.texels, t.mip_offsets, t.mip_sizes, t.n_mips,
-                t.srgb_flags, t.alpha_states, t.alpha_state_base), None
+        return ((t.texels, t.mip_offsets, t.mip_sizes, t.n_mips,
+                 t.srgb_flags, t.alpha_states, t.alpha_state_base,
+                 t.sampler_modes),
+                (t.has_custom_samplers,))
 
-    def tex_unflatten(_, children):
-        return TextureTable(*children)
+    def tex_unflatten(aux, children):
+        return TextureTable(*children, has_custom_samplers=aux[0])
 
     jax.tree_util.register_pytree_node(SceneArrays, scene_flatten, scene_unflatten)
     jax.tree_util.register_pytree_node(TextureTable, tex_flatten, tex_unflatten)
