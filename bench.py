@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--passes", action="store_true",
                     help="print the per-pass ms breakdown (BASELINE.md "
                          "tracked metric) to stderr")
+    ap.add_argument("--no-continuity", action="store_true",
+                    help="skip the procedural same-scene continuity metric "
+                         "(saves one full-frame compile during iteration)")
     args = ap.parse_args()
     from vk_renderer_tpu.utils import jaxcache
     jaxcache.enable()
@@ -148,6 +151,27 @@ def main():
         "backend": jax.default_backend(),
         "scene_triangles": int(scene.num_triangles),
     }), file=sys.stderr)
+
+    # same-scene CONTINUITY metric (VERDICT r4 weak #6): the procedural
+    # stand-in the rounds 1-3 benches measured, at the same 1080p config,
+    # so round-over-round velocity stays machine-readable even as the
+    # flagship scene evolves
+    if not args.no_continuity and scene_name != "sponza_like":
+        pscene = procedural.build_sponza_like().build().device_put()
+        out = driver.render(pscene, cam, settings, cfg)
+        jax.block_until_ready(out["color"])
+        np.asarray(out["stats_vec"])
+        t0 = time.perf_counter()
+        for i in range(10):
+            cam.yaw += 0.002
+            out = driver.render(pscene, cam, settings, cfg)
+        jax.block_until_ready(out["color"])
+        cdt = (time.perf_counter() - t0) / 10
+        print(json.dumps({
+            "continuity_scene": "procedural_sponza_like",
+            "continuity_frametime_ms": round(1000 * cdt, 3),
+            "continuity_fps": round(1.0 / cdt, 3),
+        }), file=sys.stderr)
 
 
 if __name__ == "__main__":

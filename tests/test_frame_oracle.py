@@ -99,8 +99,12 @@ def _camera():
     return cam
 
 
-@pytest.mark.parametrize("mode", [0, 3])
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
 def test_full_frame_matches_independent_oracle(mode):
+    """All four shadow filter modes (VERDICT r4 task 8: modes 1-2 — PCF
+    and PCSS — were previously uncovered by the full-frame gate).  Modes
+    0-2 share one FrameConfig (mode is a traced channel, cascades=1), so
+    the parametrization costs one extra compile total (mode 3)."""
     b = _scene_builder()
     host_scene = b.build()
     scene = host_scene.device_put()
@@ -112,7 +116,8 @@ def test_full_frame_matches_independent_oracle(mode):
         cap_opaque=256, cap_masked=64, cap_transparent=64, rec_opaque=512,
         rec_masked=128, rec_transparent=128, rec_shadow=512,
         shadow_cap=512, big_cap=128, shadow_big_cap=128,
-        masked_peels=4, transparent_peels=2, packed_rows=True)
+        masked_peels=4, transparent_peels=2, packed_rows=True,
+        masked_tail_rounds=1, masked_tail_peels=2)
 
     out = frame.render_frame(scene, driver.scene_data_pytree(
         cam, settings, cfg), driver.make_settings_pytree(settings), cfg)

@@ -82,13 +82,20 @@ class FrameConfig:
     # overhead made even a fully-gated round cost ~120 ms); beyond the
     # cap a lax.cond falls back to the gated full grid — exact either way
     masked_tail_tile_cap: int = 64
-    # tile-tier ladder for the masked accept layers (round 5): each
-    # accept evaluates alpha over the COMPACTED domain tiles at the
-    # smallest tier covering the live tile count; the full grid is
-    # appended as the top tier, so the ladder is exhaustive (no dense
-    # fallback, no cap-miss accounting).  Tile compaction is ~free
-    # (tools/bench_chain.py) — these tiers only bound the eval width
-    masked_tile_tiers: tuple = (64, 224)
+    # cell-tier ladder for the masked accept layers (round 5): the
+    # domain compacts at 32-PIXEL-CELL granularity (a pure reshape of
+    # the tiled k-buffer layers; cell compaction is ~free at ~65k cells,
+    # tools/bench_chain.py, while per-PIXEL compaction pays ~10 ms in
+    # compact_mask's 2M-update scatter and per-TILE granularity gathers
+    # 4096-px tiles for sparse domains).  Each accept evaluates alpha
+    # over the gathered cells at the smallest tier covering the live
+    # cell count; the full grid is appended as the top tier, so the
+    # ladder is exhaustive (no dense fallback, no cap-miss accounting)
+    # per-peel selection keeps ~3 compiled tiers per accept layer:
+    # peel 0 sees the bucket's full footprint (biggest tier only),
+    # peel 1 the first rejects, later peels the decaying middle, and the
+    # tail rounds the small tiers
+    masked_cell_tiers: tuple = (1024, 8192, 24576, 49152)
     # opt-in baked alpha-coverage-state accept (scene/textures.
     # build_alpha_states): bit-exact vs the trilinear accept
     # (tests/test_alpha_state.py A/B) but measured cost-neutral on the
@@ -585,25 +592,49 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
         # accept domain or the overflow probe (trace-time constant)
         valid_t = _to_tiles(jnp.ones((h, w), bool), rows_t, cols_t, th, tw,
                             False)
-        tiers = tuple(t for t in cfg.masked_tile_tiers if t < n_tile) \
-            + (n_tile,)
+        # 32-pixel cells: [n_tile, th, tw] reshapes row-major to
+        # [n_cells, CELL] with cell c covering tile c // (th*tw/CELL),
+        # tile row (c % (th*tw/CELL)) // (tw/CELL), x-run c % (tw/CELL)
+        CELL = 32 if tw % 32 == 0 else tw
+        cpr = tw // CELL                      # cells per tile row
+        cpt = th * cpr                        # cells per tile
+        n_cells = n_tile * cpt
+        base_tiers = tuple(t for t in sorted(set(cfg.masked_cell_tiers))
+                           if t < n_cells)
 
-        def eval_tiles(lt_t, dom, tcap):
-            tsel, _ = compact_mask(dom.any(axis=(1, 2)), tcap)
-            selc = jnp.maximum(tsel, 0)
-            okm = (tsel >= 0)[:, None, None]
-            dom_s = dom[selc] & okm
-            t2_f = jnp.where(dom_s, lt_t[selc], -1).reshape(-1)
-            tx = (selc % cols_t).astype(jnp.float32)
-            ty = (selc // cols_t).astype(jnp.float32)
-            px = (tx[:, None, None] * tw + 0.5
-                  + jax.lax.broadcasted_iota(jnp.float32, (1, th, tw), 2))
-            py = (ty[:, None, None] * th + 0.5
-                  + jax.lax.broadcasted_iota(jnp.float32, (1, th, tw), 1))
-            px_f = jnp.broadcast_to(px, (tcap, th, tw)).reshape(-1)
-            py_f = jnp.broadcast_to(py, (tcap, th, tw)).reshape(-1)
+        def ladder_for(peel_k: int) -> tuple:
+            if not base_tiers:
+                return (n_cells,)
+            if peel_k == 0:
+                lad = base_tiers[-1:]
+            elif peel_k == 1:
+                lad = base_tiers[-2:]
+            elif peel_k < cfg.masked_peels:
+                lad = base_tiers[1:-1] or base_tiers
+            else:
+                lad = base_tiers[:2]
+            return tuple(lad) + (n_cells,)
+
+        def eval_cells(lt_t, dom, ccap):
+            dom_c = dom.reshape(n_cells, CELL)
+            csel, _ = compact_mask(dom_c.any(axis=1), ccap)
+            selc = jnp.maximum(csel, 0)
+            okm = (csel >= 0)[:, None]
+            dom_s = dom_c[selc] & okm
+            t2_f = jnp.where(dom_s, lt_t.reshape(n_cells, CELL)[selc],
+                             -1).reshape(-1)
+            g = selc // cpt
+            rem = selc - g * cpt
+            cy = rem // cpr
+            cq = rem - cy * cpr
+            px0 = ((g % cols_t) * tw + cq * CELL).astype(jnp.float32)
+            py0 = ((g // cols_t) * th + cy).astype(jnp.float32)
+            px_f = (px0[:, None] + 0.5 + jax.lax.broadcasted_iota(
+                jnp.float32, (1, CELL), 1)).reshape(-1)
+            py_f = jnp.broadcast_to(py0[:, None] + 0.5,
+                                    (ccap, CELL)).reshape(-1)
             if use_state:
-                unc_cap = max(8192, (tcap * th * tw) // 4)
+                unc_cap = max(8192, (ccap * CELL) // 4)
                 acc_f, over = _masked_accept_state(scene, t2_f, px_f,
                                                    py_f, ptbl_a, unc_cap)
             else:
@@ -611,35 +642,37 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
                                       py_f, ptbl, ptbl_a=ptbl_a)
                 acc_f = alpha >= 0.5
                 over = jnp.int32(0)
-            acc_s = acc_f.reshape(tcap, th, tw) & dom_s
-            tgt = jnp.where(tsel >= 0, tsel, n_tile)
-            acc_full = jnp.zeros((n_tile, th, tw), bool).at[tgt].set(
+            acc_s = acc_f.reshape(ccap, CELL) & dom_s
+            tgt = jnp.where(csel >= 0, csel, n_cells)
+            acc_full = jnp.zeros((n_cells, CELL), bool).at[tgt].set(
                 acc_s, mode="drop")
-            return acc_full, over
+            return acc_full.reshape(n_tile, th, tw), over
 
-        def accept_tiles(lt_t, dom):
-            n_t = jnp.sum(dom.any(axis=(1, 2)).astype(jnp.int32))
+        def accept_tiles(lt_t, dom, peel_k):
+            tiers = ladder_for(peel_k)
+            n_c = jnp.sum(dom.reshape(n_cells, CELL).any(axis=1)
+                          .astype(jnp.int32))
 
             def build(i):
-                if tiers[i] >= n_tile:
-                    return lambda _x: eval_tiles(lt_t, dom, n_tile)
+                if tiers[i] >= n_cells:
+                    return lambda _x: eval_cells(lt_t, dom, n_cells)
                 return lambda x: jax.lax.cond(
-                    n_t <= tiers[i],
-                    lambda _u: eval_tiles(lt_t, dom, tiers[i]),
+                    n_c <= tiers[i],
+                    lambda _u: eval_cells(lt_t, dom, tiers[i]),
                     build(i + 1), x)
 
             return jax.lax.cond(
-                n_t == 0,
+                n_c == 0,
                 lambda _x: (jnp.zeros((n_tile, th, tw), bool),
                             jnp.int32(0)),
                 build(0), 0)
 
-        def accept_layers(layers, peels_r, carry, probe):
+        def accept_layers(layers, peels_r, base_peel, carry, probe):
             depth_t, tid_t, pending, deepest, fallback = carry
             for k in range(peels_r):
                 ld, lt = layers[k]
                 dom = pending & (lt >= 0)
-                acc, over = accept_tiles(lt, dom)
+                acc, over = accept_tiles(lt, dom, base_peel + k)
                 fallback = fallback + over
                 depth_t = jnp.where(acc, ld, depth_t)
                 tid_t = jnp.where(acc, lt, tid_t)
@@ -659,17 +692,18 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
             bound_t0, tile_w=tw, tile_h=th, chunk=cfg.masked_chunk)
         carry = (depth_t, tid_t, valid_t,
                  jnp.zeros((n_tile, th, tw), jnp.float32), fallback)
-        carry, peel_ovf = accept_layers(layers, peel_plan[0], carry,
+        carry, peel_ovf = accept_layers(layers, peel_plan[0], 0, carry,
                                         probe=last0)
 
         # tail rounds: SKIPPED by lax.cond when nothing is pending (the
         # common case once chains resolve) — a run round re-enters the
         # record stream over the compacted pending tiles
+        base = peel_plan[0]
         for r in range(1, rounds):
             peels_r = peel_plan[r]
             last = r == rounds - 1
 
-            def run_round(carry, peels_r=peels_r, last=last):
+            def run_round(carry, peels_r=peels_r, last=last, base=base):
                 depth_t, tid_t, pending, deepest, fallback = carry
                 pend_tiles = pending.any(axis=(1, 2))
                 floor_t = jnp.where(pending, deepest, 2.0)
@@ -702,13 +736,15 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
                         full_grid, (floor_t, tsel))
                 else:
                     layers = full_grid((floor_t, None))
-                return accept_layers(layers, peels_r, carry, probe=last)
+                return accept_layers(layers, peels_r, base, carry,
+                                     probe=last)
 
             n_pend = jnp.sum(carry[2].astype(jnp.int32))
             carry, p_r = jax.lax.cond(
                 n_pend > 0, run_round,
                 lambda c: (c, jnp.int32(0)), carry)
             peel_ovf = peel_ovf + p_r
+            base += peels_r
         depth_t, tid_t, _pending, _deepest, fallback = carry
         depth = _from_tiles(depth_t.reshape(rows_t, cols_t, th, tw)
                             )[:h, :w]
