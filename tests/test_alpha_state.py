@@ -185,7 +185,8 @@ def test_masked_pass_ab_state_vs_trilinear():
     # strip the states -> the masked pass compiles the legacy path
     import dataclasses
     tex_off = dataclasses.replace(scene_on.textures, alpha_states=None,
-                                  alpha_state_base=None)
+                                  alpha_state_base=None, alpha_quads=None,
+                                  alpha_quad_base=None)
     scene_off = dataclasses.replace(scene_on, textures=tex_off)
 
     cfg = FrameConfig(width=256, height=128, cap_opaque=64, cap_masked=64,

@@ -260,7 +260,8 @@ class TestConfig5SponzaLike:
                         cap_opaque=16384, cap_masked=512,
                         cap_transparent=256, raster_chunk=64,
                         shadow_cap=24576, shadow_size=512,
-                        masked_peels=8, transparent_peels=3)
+                        masked_peels=8, transparent_peels=3,
+                        masked_tail_rounds=1, masked_tail_peels=2)
         out = driver.render(scene, cam, s, cfg)
         color = np.asarray(out["color"])
         assert np.all(np.isfinite(color))
@@ -324,7 +325,8 @@ class TestPackedRows:
                            enable_postprocess=True)
         kw = dict(enable_shadows=True, cap_opaque=16384, cap_masked=512,
                   cap_transparent=256, raster_chunk=64, shadow_cap=16384,
-                  shadow_size=512, masked_peels=8, transparent_peels=3)
+                  shadow_size=512, masked_peels=8, transparent_peels=3,
+                  masked_tail_rounds=1, masked_tail_peels=2)
         ref = driver.render(scene, cam, s, small_cfg(**kw))
         out = driver.render(scene, cam, s, small_cfg(packed_rows=True, **kw))
         np.testing.assert_array_equal(np.asarray(ref["color_u8"]),

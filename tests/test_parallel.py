@@ -129,6 +129,7 @@ def test_sharded_flagship_config_parity():
                     cap_masked=32768, cap_transparent=8192, rec_opaque=4096,
                     rec_masked=2048, rec_transparent=1024, rec_shadow=4096,
                     packed_rows=True, k_raster=True, masked_peels=8,
+                    masked_tail_rounds=1, masked_tail_peels=2,
                     shadow_cascades=4)
     sd = driver.scene_data_pytree(cam, settings, cfg)
     st = driver.make_settings_pytree(settings)

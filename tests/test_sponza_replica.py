@@ -69,7 +69,8 @@ def test_replica_renders(replica):
     cfg = driver.config_from_settings(
         settings, 192, 108, shadow_size=256, cap_opaque=16384,
         cap_masked=4096, rec_opaque=2048, rec_masked=1024, rec_shadow=4096,
-        shadow_cap=32768, masked_peels=12, packed_rows=True)
+        shadow_cap=32768, masked_peels=12, packed_rows=True,
+        masked_tail_rounds=1, masked_tail_peels=4)
     cam = Camera(position=np.array([9.0, 1.8, 0.3], np.float32))
     cam.yaw = np.pi / 2
     out = frame.render_frame(scene, driver.scene_data_pytree(

@@ -177,7 +177,8 @@ def main():
     print(f"masked full (state path): {ms:8.2f} ms", flush=True)
 
     tex_off = dataclasses.replace(scene.textures, alpha_states=None,
-                                  alpha_state_base=None)
+                                  alpha_state_base=None, alpha_quads=None,
+                                  alpha_quad_base=None)
     scene_off = dataclasses.replace(scene, textures=tex_off)
     ptbl_a_off = jnp.concatenate(
         [ptbl_a[:, :19], jnp.zeros_like(ptbl_a[:, 19:])], axis=1)

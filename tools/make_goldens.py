@@ -47,7 +47,8 @@ def golden_configs():
         base = dict(width=W, height=H, cap_opaque=16384, cap_masked=512,
                     cap_transparent=256, raster_chunk=64, masked_chunk=16,
                     shadow_size=256, shadow_cap=40960, rec_opaque=4096,
-                    rec_shadow=4096, masked_peels=8)
+                    rec_shadow=4096, masked_peels=8,
+                    masked_tail_rounds=1, masked_tail_peels=2)
         base.update(kw)
         return FrameConfig(**base)
 

@@ -346,12 +346,23 @@ def _winner_alpha(scene, tid, rows, vattr, px=None, py=None, ptbl=None,
     that row-gather is half the transactions — the masked peel loop runs
     ~2-3M of these per frame."""
     if ptbl_a is not None:
+        has_aq = (getattr(scene.textures, "alpha_quads", None) is not None
+                  and getattr(scene.textures, "alpha_state_base", None)
+                  is not None)
         weights, corners, meta_cols = interp.alpha_weights_and_uv(
-            ptbl_a, tid, px, py)
+            ptbl_a, tid, px, py, n_meta=4 if has_aq else 2)
         (u, dudx, dudy), (v, dvdx, dvdy) = interp.derivs_from_corners(
             corners, (0, 1), weights)
         f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
         meta_a = tex.unpack_meta(f2i(meta_cols[0]), f2i(meta_cols[1]))
+        if has_aq:
+            # dedicated alpha-quad table: one flat take per bilinear
+            # fetch, no RGBA-heap row-gather operand in the peel branch
+            aqb = (f2i(meta_cols[3]) & (tex.F32_GUARD_BIT - 1)) - 1
+            alpha = tex.sample_alpha_trilinear(
+                scene.textures.alpha_quads, u, v, dudx, dvdx, dudy, dvdy,
+                meta_a, aqb)
+            return alpha
         (alpha,) = tex.sample_trilinear(scene.textures, None, u, v,
                                         dudx, dvdx, dudy, dvdy,
                                         channels=(3,), meta=meta_a)
@@ -392,13 +403,14 @@ def _masked_accept_state(scene, t2_s, px, py, ptbl_a, unc_cap):
     trilinear path: the baked states are conservative bounds over the
     exact footprint (certainty argument in build_alpha_states)."""
     weights, corners, meta_cols = interp.alpha_weights_and_uv(
-        ptbl_a, t2_s, px, py, n_meta=3)
+        ptbl_a, t2_s, px, py, n_meta=4)
     (u, dudx, dudy), (v, dvdx, dvdy) = interp.derivs_from_corners(
         corners, (0, 1), weights)
     f2i = lambda x: jax.lax.bitcast_convert_type(x, jnp.int32)
     meta_a = tex.unpack_meta(f2i(meta_cols[0]), f2i(meta_cols[1]))
     # decode the guard-bit sbase encoding (see build_alpha_ptbl)
     sbase = (f2i(meta_cols[2]) & (tex.F32_GUARD_BIT - 1)) - 1
+    aq_base = (f2i(meta_cols[3]) & (tex.F32_GUARD_BIT - 1)) - 1
     st = tex.alpha_state_lookup(scene.textures.alpha_states, u, v,
                                 dudx, dvdx, dudy, dvdy, meta_a, sbase)
     dom = t2_s >= 0
@@ -420,11 +432,11 @@ def _masked_accept_state(scene, t2_s, px, py, ptbl_a, unc_cap):
                                                  mode="drop")
 
     def tri_full(_):
-        # cap miss: the whole list pays the trilinear (exact; u/v/derivs
-        # and meta are already in hand)
-        (alpha,) = tex.sample_trilinear(scene.textures, None, u, v,
-                                        dudx, dvdx, dudy, dvdy,
-                                        channels=(3,), meta=meta_a)
+        # cap miss: the whole list pays the alpha sample (exact;
+        # u/v/derivs and meta are already in hand)
+        alpha = tex.sample_alpha_trilinear(
+            scene.textures.alpha_quads, u, v, dudx, dvdx, dudy, dvdy,
+            meta_a, aq_base)
         return alpha >= 0.5
 
     tri_acc = jax.lax.cond(n_unc <= unc_cap, tri_sparse, tri_full, 0)
@@ -1148,12 +1160,19 @@ def build_alpha_ptbl(scene, padded, tris_p, tri_mat_p, vattr):
     i2f = lambda x: jax.lax.bitcast_convert_type(
         x.astype(jnp.int32), jnp.float32)
     cols = [i2f(base_t[aid]), i2f(pack_t[aid])]
-    if getattr(scene.textures, "alpha_state_base", None) is not None:
+    if (getattr(scene.textures, "alpha_state_base", None) is not None
+            and getattr(scene.textures, "alpha_quad_base", None)
+            is not None):
         # guard-bit encoding (tex.F32_GUARD_BIT): plain cell indices are
         # denormal f32 patterns and TPU moves flush them to zero.
         # sbase + 1 < 2^28, so exponent bits 28-29 stay clear — never NaN
         enc = (scene.textures.alpha_state_base[aid] + 1) | tex.F32_GUARD_BIT
         cols.append(i2f(enc))
+        # col 20: the alpha-quad table base (built together with the
+        # states in assembly.build), same encoding
+        encq = ((scene.textures.alpha_quad_base[aid] + 1)
+                | tex.F32_GUARD_BIT)
+        cols.append(i2f(encq))
     mat_alpha = jnp.stack(cols, axis=-1)[tri_mat_p]
     return interp.build_alpha_rows(padded, tris_p, vattr, mat_alpha)
 

@@ -357,6 +357,58 @@ F32_GUARD_BIT = 1 << 30
 # survive moves bit-exactly.
 
 
+def _alpha_bilinear_at(quads, off, w, h, u, v):
+    """Bilinear ALPHA fetch from the alpha-quad table: ONE flat take
+    (word = the 2x2 neighborhood's packed alpha bytes) — arithmetic
+    mirrors _bilinear_at exactly, so the result is bit-identical to the
+    RGBA heap's channel-3 bilinear."""
+    x = u * w.astype(jnp.float32) - 0.5
+    y = v * h.astype(jnp.float32) - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    x0i = jnp.mod(x0.astype(jnp.int32), w)
+    y0i = jnp.mod(y0.astype(jnp.int32), h)
+    q = jnp.take(quads, off + y0i * w + x0i)
+    t00 = (q & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+    t10 = ((q >> 8) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+    t01 = ((q >> 16) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+    t11 = ((q >> 24) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+    top = t00 + (t10 - t00) * fx
+    bot = t01 + (t11 - t01) * fx
+    return top + (bot - top) * fy
+
+
+def sample_alpha_trilinear(quads, u, v, dudx, dvdx, dudy, dvdy, meta,
+                           aq_base):
+    """Trilinear ALPHA over the dedicated alpha-quad table — the masked
+    peel loop's discard operand (mesh_pbr.frag:193), bit-identical to
+    ``sample_trilinear(..., channels=(3,))`` over the RGBA heap but
+    TWO FLAT TAKES per pixel over a ~4 MB array instead of two 4-wide
+    row-gathers over the 50M-word heap (whose [N, 4] gather operand XLA
+    re-materializes 32x-padded per cond branch — tools/bench_masked2.py).
+    The table's level layout mirrors the heap's, so each level's offset
+    is the heap descriptor's DELTA from the texture's level-0 offset
+    rebased onto ``aq_base``.  ``meta``: unpack_meta 7-tuple;
+    ``aq_base``: per-pixel i32 (from the alpha rows, guard-bit decoded;
+    negative = no table — callers gate statically)."""
+    w0, h0, max_level, _srgb, w0i, h0i, base = meta
+    lam = _lod_from_meta(w0, h0, max_level, dudx, dvdx, dudy, dvdy)
+    l0 = jnp.floor(lam).astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, max_level.astype(jnp.int32))
+    frac = lam - l0.astype(jnp.float32)
+    off0, w0l, h0l = _desc_from_meta(base, w0i, h0i, l0)
+    aq0 = aq_base + (off0 - base)
+    c0 = _alpha_bilinear_at(quads, aq0, w0l, h0l, u, v)
+    deeper = l1 > l0
+    aq1 = jnp.where(deeper, aq0 + w0l * h0l, aq0)
+    w1l = jnp.where(deeper, jnp.maximum(w0l >> 1, 1), w0l)
+    h1l = jnp.where(deeper, jnp.maximum(h0l >> 1, 1), h0l)
+    c1 = _alpha_bilinear_at(quads, aq1, w1l, h1l, u, v)
+    return c0 + (c1 - c0) * frac
+
+
 def packed_meta_cols(textures):
     """Per-texture (base_off, packed_meta) i32 columns for fusing texture
     meta into material/interp rows — DENORMAL-SAFE for f32-lane transport

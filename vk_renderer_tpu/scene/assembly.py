@@ -325,8 +325,10 @@ class SceneBuilder:
         # peel chains at their source.
         n_masked_raster = counts[1]
         alpha_states = alpha_state_base = None
+        alpha_quads = alpha_quad_base = None
         if counts[1] > 0:
-            from .textures import build_alpha_states, tri_alpha_bounds
+            from .textures import (build_alpha_quads, build_alpha_states,
+                                   tri_alpha_bounds)
             lo, hi = counts[0], counts[0] + counts[1]
             mt = tris_a[lo:hi]
             mm = mats_a[lo:hi]
@@ -349,6 +351,10 @@ class SceneBuilder:
             default_tex = np.unique(tex_of[modes_of == 0])
             if default_tex.size:
                 alpha_states, alpha_state_base = build_alpha_states(
+                    self.heap, default_tex)
+                # the alpha-only quad table (ONE flat take per bilinear
+                # alpha fetch in the peel loop — see build_alpha_quads)
+                alpha_quads, alpha_quad_base = build_alpha_quads(
                     self.heap, default_tex)
 
         scene = SceneArrays(
@@ -375,4 +381,6 @@ class SceneBuilder:
         if alpha_states is not None:
             scene.textures.alpha_states = alpha_states
             scene.textures.alpha_state_base = alpha_state_base
+            scene.textures.alpha_quads = alpha_quads
+            scene.textures.alpha_quad_base = alpha_quad_base
         return scene

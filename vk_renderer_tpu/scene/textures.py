@@ -473,6 +473,46 @@ def build_alpha_states(heap: TextureHeapBuilder, tex_ids) -> tuple:
     return words, sbase
 
 
+def build_alpha_quads(heap: TextureHeapBuilder, tex_ids) -> tuple:
+    """Dedicated ALPHA-ONLY quad table for the masked peel loop's
+    ~5M alpha tests per frame: word ``i`` packs texel i's full bilinear
+    2x2 REPEAT neighborhood of quantized alphas as
+    ``a00 | a10 << 8 | a01 << 16 | a11 << 24`` (the main heap's corner
+    order), so one bilinear alpha fetch is ONE FLAT TAKE over a ~4 MB
+    u32 array instead of a 4-wide row-gather over the ~50 M-word RGBA
+    heap — whose [N, 4] gather operand XLA materializes PER COND BRANCH
+    with T(8,128) padding (measured: a 6 GB temp and ~40-55 ms of fixed
+    cost per accept layer at 1080p, tools/bench_masked2.py).
+
+    Alphas are the exact bytes the heap stores ((clip(a)*255 + 0.5)
+    floor-quantized; no sRGB on alpha), so the unpacked f32 values — and
+    the bilinear/trilinear results — are BIT-IDENTICAL to the RGBA-heap
+    path.  Level layout mirrors the heap exactly (same per-level w x h,
+    same cursor arithmetic), so mip offsets derive from the SAME level-0
+    descriptor delta (ops/texture.sample_alpha_quads).
+
+    Returns (quads u32[N], qbase i32[T]; -1 = texture not in the set)."""
+    t_count = len(heap._textures)
+    qbase = np.full(t_count, -1, np.int32)
+    chunks: list[np.ndarray] = []
+    cursor = 0
+    for t in sorted(set(int(x) for x in tex_ids)):
+        qbase[t] = cursor
+        for img in heap._textures[t]:
+            a8 = np.floor(np.clip(img[..., 3], 0.0, 1.0) * 255.0 + 0.5
+                          ).astype(np.uint32)
+            xp = np.roll(a8, -1, axis=1)
+            yp = np.roll(a8, -1, axis=0)
+            xyp = np.roll(yp, -1, axis=1)
+            word = a8 | (xp << 8) | (yp << 16) | (xyp << 24)
+            chunks.append(word.reshape(-1))
+            cursor += word.size
+    if not chunks:
+        return np.zeros(1, np.uint32), qbase
+    assert cursor < 2**29, "alpha-quad table exceeds the encoding range"
+    return np.concatenate(chunks), qbase
+
+
 def make_default_heap() -> tuple[TextureHeapBuilder, dict[str, int]]:
     """Create the heap pre-populated with the reference's default slots
     (vk_engine_init.cpp:318-355, including the slot-0 overwrite quirk) plus

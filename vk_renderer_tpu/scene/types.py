@@ -67,6 +67,11 @@ class TextureTable:
     # samplers are all default pay nothing.
     sampler_modes: np.ndarray = None     # i32[T]
     has_custom_samplers: bool = False
+    # alpha-only quad table for the masked peel loop (scene/textures.py
+    # build_alpha_quads): one u32 per texel packs its 2x2 bilinear
+    # neighborhood's alphas — a bilinear alpha fetch is ONE flat take
+    alpha_quads: np.ndarray = None       # u32[N]
+    alpha_quad_base: np.ndarray = None   # i32[T] (-1 = none)
 
 
 @dataclass
@@ -162,7 +167,10 @@ class SceneArrays:
                               if tex.alpha_states is not None else None),
                 alpha_state_base=put(tex.alpha_state_base),
                 sampler_modes=put(tex.sampler_modes),
-                has_custom_samplers=tex.has_custom_samplers)
+                has_custom_samplers=tex.has_custom_samplers,
+                alpha_quads=(put(tex.alpha_quads.view(np.int32))
+                             if tex.alpha_quads is not None else None),
+                alpha_quad_base=put(tex.alpha_quad_base))
         cubemap = None
         if self.cubemap is not None:
             cubemap = put(quad_pack_cubemap(pack_rgb9e5(self.cubemap)))
@@ -251,11 +259,17 @@ def register_pytrees():
     def tex_flatten(t: TextureTable):
         return ((t.texels, t.mip_offsets, t.mip_sizes, t.n_mips,
                  t.srgb_flags, t.alpha_states, t.alpha_state_base,
-                 t.sampler_modes),
+                 t.sampler_modes, t.alpha_quads, t.alpha_quad_base),
                 (t.has_custom_samplers,))
 
     def tex_unflatten(aux, children):
-        return TextureTable(*children, has_custom_samplers=aux[0])
+        (texels, mip_offsets, mip_sizes, n_mips, srgb_flags, alpha_states,
+         alpha_state_base, sampler_modes, alpha_quads,
+         alpha_quad_base) = children
+        return TextureTable(texels, mip_offsets, mip_sizes, n_mips,
+                            srgb_flags, alpha_states, alpha_state_base,
+                            sampler_modes, aux[0], alpha_quads,
+                            alpha_quad_base)
 
     jax.tree_util.register_pytree_node(SceneArrays, scene_flatten, scene_unflatten)
     jax.tree_util.register_pytree_node(TextureTable, tex_flatten, tex_unflatten)
