@@ -87,7 +87,8 @@ def main():
 
     classify_cap = F._resolve_classify_cap(cfg)
 
-    def shade_with(quad_lit, fine, rows_form):
+    def shade_with(quad_lit, fine, rows_form, shadows_on=True,
+                   mr_nearest=False):
         def f(gbuf, scene, sd, shadow_packed):
             if fine:
                 coarse = tex.make_coarse_rows(
@@ -101,28 +102,53 @@ def main():
                     tex.build_shadow_coarse(shadow_packed))
             sm = (tex.make_shadow_rows(shadow_packed) if rows_form
                   else shadow_packed)
+            if not shadows_on:
+                rgb, a = shade.shade_pbr(
+                    gbuf, scene, sd, sm, 3, False,
+                    mr_nearest_mip=mr_nearest)
+                return rgb, a, jnp.int32(0)
             return shade.shade_pbr(
                 gbuf, scene, sd, sm, sd["sunlight_direction"][3],
                 sd["sunlight_color"][3],
                 shadow_sparse_cap=classify_cap,
                 shadow_coarse=shadow_coarse,
-                shadow_quad_lit=quad_lit)
+                shadow_quad_lit=quad_lit,
+                mr_nearest_mip=mr_nearest)
         return jax.jit(f)
 
+    # variant scenes: the texel heap pre-reshaped [N, 4] on DEVICE (the
+    # layout XLA assigns it decides whether the 6 GB padded temp and the
+    # per-use repacks disappear)
+    tex_q = dataclasses.replace(
+        scene.textures, texels=jnp.reshape(scene.textures.texels, (-1, 4)))
+    scene_q = dataclasses.replace(scene, textures=tex_q)
+    jax.block_until_ready(scene_q.textures.texels)
+
     variants = [
-        ("classified+fine, ShadowRows", (True, True, True)),
-        ("classified+fine, pair-packed", (True, True, False)),
+        ("classified+fine, ShadowRows", (True, True, True, True, False),
+         scene),
+        ("no shadow filtering at all", (True, True, True, False, False),
+         scene),
+        ("no quad-lit receiver probe", (False, True, True, True, False),
+         scene),
+        ("coarse-only classifier", (False, False, True, True, False),
+         scene),
+        ("heap pre-reshaped [N,4]", (True, True, True, True, False),
+         scene_q),
+        ("heap [N,4], no shadows", (True, True, True, False, False),
+         scene_q),
     ]
-    for name, (ql, fi, rf) in variants:
-        fn = shade_with(ql, fi, rf)
+    for name, (ql, fi, rf, sh, mrn), sc in variants:
+        fn = shade_with(ql, fi, rf, sh, mrn)
         try:
-            mem = fn.lower(gbuf, scene, sd, shadow_packed).compile() \
+            mem = fn.lower(gbuf, sc, sd, shadow_packed).compile() \
                 .memory_analysis()
-            print(f"{name:<34} temp={mem.temp_size_in_bytes/2**20:8.1f}MB",
+            print(f"{name:<34} temp={mem.temp_size_in_bytes/2**20:8.1f}MB "
+                  f"args={mem.argument_size_in_bytes/2**20:8.1f}MB",
                   flush=True)
         except Exception as e:
             print(f"{name:<34} memory_analysis failed: {e}", flush=True)
-        ms, out = _timed(fn, gbuf, scene, sd, shadow_packed, iters=3)
+        ms, out = _timed(fn, gbuf, sc, sd, shadow_packed, iters=3)
         print(f"{name:<34} {ms:8.2f} ms  ovf={int(np.asarray(out[2]))}",
               flush=True)
 

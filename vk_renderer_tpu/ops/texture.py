@@ -76,7 +76,8 @@ def _bilinear_at(texels, off, w, h, u, v, srgb, channels):
 
     x0i = wrap(x0, w)
     y0i = wrap(y0, h)
-    q = texels.reshape(-1, 4)[off + y0i * w + x0i]     # [..., 4]
+    quads = texels if texels.ndim == 2 else texels.reshape(-1, 4)
+    q = quads[off + y0i * w + x0i]     # [..., 4]
     p00, p10, p01, p11 = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
 
     out = []
@@ -206,7 +207,8 @@ def _sample_general(textures, tex_id, u, v, dudx, dvdx, dudy, dvdy,
     l1 = jnp.where(mip_n, d_near, jnp.minimum(l0 + 1, max_l))
     frac = jnp.where(mip_n, 0.0, lam - jnp.floor(lam))
 
-    flat = textures.texels.reshape(-1, 4)
+    flat = (textures.texels if textures.texels.ndim == 2
+            else textures.texels.reshape(-1, 4))
 
     def level(li):
         off, wi, hi = _desc_from_meta(base, w0i, h0i, li)
@@ -766,13 +768,15 @@ def _decode_rgb9e5(w):
 
 
 def sample_cubemap(cubemap, dx, dy, dz):
-    """cubemap: RGB9E5-packed u32, either quad-interleaved [6, F, 4F]
-    (scene/types.quad_pack_cubemap — the scene path: a full bilinear fetch
-    is ONE row-4 gather) or plain [6, F, F] (tests/tools: one gather per
-    corner).  Vulkan face order +X -X +Y -Y +Z -Z; direction components
-    planar [H, W].  Bilinear, per-face clamp-to-edge, face selection per
-    the Vulkan cube-map equations.  Returns (r, g, b) planar — both forms
-    bit-identical."""
+    """cubemap: RGB9E5-packed u32 in one of three forms — quad rows
+    [6*F*F, 4] (the scene path: a full bilinear fetch is ONE row-4
+    gather over an array whose ARGUMENT layout stays compact — see the
+    texel heap's [N, 4] rationale in scene/types.device_put),
+    quad-interleaved [6, F, 4F] (legacy), or plain [6, F, F]
+    (tests/tools: one gather per corner).  Vulkan face order
+    +X -X +Y -Y +Z -Z; direction components planar [H, W].  Bilinear,
+    per-face clamp-to-edge, face selection per the Vulkan cube-map
+    equations.  Returns (r, g, b) planar — all forms bit-identical."""
     ax, ay, az = jnp.abs(dx), jnp.abs(dy), jnp.abs(dz)
     use_x = (ax >= ay) & (ax >= az)
     use_y = (~use_x) & (ay >= az)
@@ -791,8 +795,13 @@ def sample_cubemap(cubemap, dx, dy, dz):
 
     assert cubemap.dtype == jnp.int32, \
         "cubemap must be RGB9E5-packed (scene/types.pack_rgb9e5)"
-    size = cubemap.shape[1]
-    is_quad = cubemap.shape[2] == 4 * size
+    if cubemap.ndim == 2:                 # [6*F*F, 4] quad rows
+        size = int(round((cubemap.shape[0] // 6) ** 0.5))
+        assert 6 * size * size == cubemap.shape[0]
+        is_quad = True
+    else:
+        size = cubemap.shape[1]
+        is_quad = cubemap.shape[2] == 4 * size
     sf = jnp.float32(size)
     xf = u * sf - 0.5
     yf = v * sf - 0.5
@@ -804,7 +813,8 @@ def sample_cubemap(cubemap, dx, dy, dz):
     y0i = jnp.clip(y0, 0, size - 1).astype(jnp.int32)
 
     if is_quad:
-        q = cubemap.reshape(-1, 4)[(face * size + y0i) * size + x0i]
+        quads = cubemap if cubemap.ndim == 2 else cubemap.reshape(-1, 4)
+        q = quads[(face * size + y0i) * size + x0i]
         # clamp-to-edge at the LOW edge: x0 < 0 clamps BOTH x-corners to
         # texel 0 (the prebuilt +1 neighbor is texel 1, wrong here); the
         # high edge is prebuilt as a duplicate.  Same for y.

@@ -157,8 +157,15 @@ class SceneArrays:
         tex = self.textures
         new_tex = None
         if tex is not None:
+            # DEVICE form is [N, 4] quad rows (host form stays flat
+            # u32[4N]): as a jit ARGUMENT the 2-D array is stored
+            # compactly and every quad row-gather uses it in place,
+            # where the in-program ``reshape(-1, 4)`` of the flat form
+            # was re-materialized T(8,128)-padded (32x = ~6 GB for the
+            # replica heap) inside cond branches — docs/PERF.md "TPU
+            # layout hazards"
             new_tex = TextureTable(
-                texels=put(tex.texels),
+                texels=put(tex.texels.reshape(-1, 4)),
                 mip_offsets=put(tex.mip_offsets),
                 mip_sizes=put(tex.mip_sizes),
                 n_mips=put(tex.n_mips),
@@ -173,7 +180,11 @@ class SceneArrays:
                 alpha_quad_base=put(tex.alpha_quad_base))
         cubemap = None
         if self.cubemap is not None:
-            cubemap = put(quad_pack_cubemap(pack_rgb9e5(self.cubemap)))
+            # same [N, 4] storage rationale as the texel heap
+            q = quad_pack_cubemap(pack_rgb9e5(self.cubemap))
+            f, s_, _ = q.shape
+            cubemap = put(np.ascontiguousarray(
+                q.reshape(f * s_ * s_, 4)))
         # all-ones vertex colors (glTF COLOR_0 default — true for Sponza
         # and most assets) are represented as None on device: the shading
         # path then folds the multiply away AND packs vertex attributes
