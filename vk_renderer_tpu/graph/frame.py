@@ -95,7 +95,10 @@ class FrameConfig:
     # peel 0 sees the bucket's full footprint (biggest tier only),
     # peel 1 the first rejects, later peels the decaying middle, and the
     # tail rounds the small tiers
-    masked_cell_tiers: tuple = (1024, 8192, 24576, 49152)
+    # sized from the replica bench camera's measured per-layer domain
+    # decay (tools/debug_masked_domains.py: 33k, 21k, 14k, 9k, 6k, 4k,
+    # 3k, 2k, 1.4k, 0.9k cells over 10 peels)
+    masked_cell_tiers: tuple = (1024, 4096, 12288, 24576, 49152)
     # opt-in baked alpha-coverage-state accept (scene/textures.
     # build_alpha_states): bit-exact vs the trilinear accept
     # (tests/test_alpha_state.py A/B) but measured cost-neutral on the
@@ -128,16 +131,15 @@ class FrameConfig:
     # footprints differ from camera-space ones
     shadow_max_span: int = 16
     shadow_big_cap: int = 1024
-    # compact-before-sort pair capacity (binning._compact_keys): the bin
-    # sort costs its STATIC length (T*max_span + big_cap*n_tiles keys,
-    # mostly sentinel pads), so the real pairs are scattered into a
-    # right-sized list first.  -1 = auto (8 pairs/triangle + big slack),
-    # 0 = off (full-length sort), >0 = explicit.  EXACT on every path:
-    # when the real pairs exceed the cap a lax.cond sorts the full
-    # emission instead; misses land in the fallback_px stat (a sizing
-    # signal, not a deviation).  TPU path only
-    pair_cap: int = -1
-    shadow_pair_cap: int = -1
+    # compact-before-sort pair capacity (binning._compact_keys) — OFF by
+    # default since round 5: chained-in-jit measurement showed lax.sort
+    # of the FULL 5.6M-key emission costs ~9 ms while the compaction's
+    # 5.6M-update scatter costs ~27 ms (the round-3/4 "sorts are the
+    # dominant cost" model was dispatch-overhead fiction — sorts are
+    # ~0.8 ms per 640k keys).  -1 = auto compaction (legacy), 0 = off
+    # (full-length sort), >0 = explicit cap.  EXACT on every path
+    pair_cap: int = 0
+    shadow_pair_cap: int = 0
     shading: str = "pbr"             # "pbr" (mesh_pbr.frag) | "flat" (mesh.frag)
     # compiles the shadow SUBSYSTEM in (pipelines-at-init analog); the
     # per-frame on/off and filter mode are TRACED scene_data channels
