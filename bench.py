@@ -96,13 +96,21 @@ def main():
         timings = profiler.profile_passes(scene, sd, st, cfg)
         print(profiler.format_table(timings), file=sys.stderr)
 
-    # timed frames with small camera motion (realistic per-frame host work)
+    # timed frames with small camera motion (realistic per-frame host work).
+    # The loop is closed by ONE tiny device->host pull of the LAST frame's
+    # stats vector: the device executes programs in order, so the pull
+    # completing proves every frame completed — honest timing even on
+    # tunnel transports whose block_until_ready returns on dispatch-ack
+    # (observed 2026-08-21: without the pull, 30 enqueues of a ~1 s frame
+    # "measured" 638 fps)
     n_frames = 30
+    np.asarray(out["stats_vec"])   # drain everything queued before t0
     t0 = time.perf_counter()
     for i in range(n_frames):
         cam.yaw += 0.002
         out = driver.render(scene, cam, settings, cfg)
     jax.block_until_ready(out["color"])
+    np.asarray(out["stats_vec"])
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 
@@ -166,6 +174,7 @@ def main():
             cam.yaw += 0.002
             out = driver.render(pscene, cam, settings, cfg)
         jax.block_until_ready(out["color"])
+        np.asarray(out["stats_vec"])   # honest close (see timed loop above)
         cdt = (time.perf_counter() - t0) / 10
         print(json.dumps({
             "continuity_scene": "procedural_sponza_like",

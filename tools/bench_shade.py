@@ -88,7 +88,7 @@ def main():
     classify_cap = F._resolve_classify_cap(cfg)
 
     def shade_with(quad_lit, fine, rows_form, shadows_on=True,
-                   mr_nearest=False):
+                   mr_nearest=False, barrier=False, static_mode=None):
         def f(gbuf, scene, sd, shadow_packed):
             if fine:
                 coarse = tex.make_coarse_rows(
@@ -102,14 +102,24 @@ def main():
                     tex.build_shadow_coarse(shadow_packed))
             sm = (tex.make_shadow_rows(shadow_packed) if rows_form
                   else shadow_packed)
+            if barrier:
+                # pin the per-frame row tables to ONE materialization so
+                # every cond/switch branch gathers from the same buffer
+                # (hazard #1, docs/PERF.md: in-program gather operands can
+                # be re-materialized padded per branch)
+                sm, shadow_coarse = jax.lax.optimization_barrier(
+                    (sm, shadow_coarse))
             if not shadows_on:
                 rgb, a = shade.shade_pbr(
                     gbuf, scene, sd, sm, 3, False,
                     mr_nearest_mip=mr_nearest)
                 return rgb, a, jnp.int32(0)
+            mode = (static_mode if static_mode is not None
+                    else sd["sunlight_direction"][3])
+            enable = (True if static_mode is not None
+                      else sd["sunlight_color"][3])
             return shade.shade_pbr(
-                gbuf, scene, sd, sm, sd["sunlight_direction"][3],
-                sd["sunlight_color"][3],
+                gbuf, scene, sd, sm, mode, enable,
                 shadow_sparse_cap=classify_cap,
                 shadow_coarse=shadow_coarse,
                 shadow_quad_lit=quad_lit,
@@ -125,21 +135,19 @@ def main():
     jax.block_until_ready(scene_q.textures.texels)
 
     variants = [
-        ("classified+fine, ShadowRows", (True, True, True, True, False),
+        ("classified+fine, ShadowRows", dict(), scene),
+        ("opt-barrier pinned tables", dict(barrier=True), scene),
+        ("static mode 3 (no lax.switch)", dict(static_mode=3), scene),
+        ("static mode 3 + barrier", dict(static_mode=3, barrier=True),
          scene),
-        ("no shadow filtering at all", (True, True, True, False, False),
-         scene),
-        ("no quad-lit receiver probe", (False, True, True, True, False),
-         scene),
-        ("coarse-only classifier", (False, False, True, True, False),
-         scene),
-        ("heap pre-reshaped [N,4]", (True, True, True, True, False),
-         scene_q),
-        ("heap [N,4], no shadows", (True, True, True, False, False),
-         scene_q),
+        ("no shadow filtering at all", dict(shadows_on=False), scene),
+        ("no quad-lit receiver probe", dict(quad_lit=False), scene),
+        ("coarse-only classifier", dict(quad_lit=False, fine=False), scene),
     ]
-    for name, (ql, fi, rf, sh, mrn), sc in variants:
-        fn = shade_with(ql, fi, rf, sh, mrn)
+    for name, kw, sc in variants:
+        fn = shade_with(kw.pop("quad_lit", True), kw.pop("fine", True),
+                        True, kw.pop("shadows_on", True),
+                        kw.pop("mr_nearest", False), **kw)
         try:
             mem = fn.lower(gbuf, sc, sd, shadow_packed).compile() \
                 .memory_analysis()

@@ -97,8 +97,9 @@ class FrameConfig:
     # tail rounds the small tiers
     # sized from the replica bench camera's measured per-layer domain
     # decay (tools/debug_masked_domains.py: 33k, 21k, 14k, 9k, 6k, 4k,
-    # 3k, 2k, 1.4k, 0.9k cells over 10 peels)
-    masked_cell_tiers: tuple = (1024, 4096, 12288, 24576, 49152)
+    # 3k, 2k, 1.4k, 0.9k cells over 10 peels) — the 36864 rung catches
+    # peel 0's ~33k so it stops paying the 49k tier's 1.5x slot excess
+    masked_cell_tiers: tuple = (1024, 4096, 12288, 24576, 36864, 49152)
     # opt-in baked alpha-coverage-state accept (scene/textures.
     # build_alpha_states): bit-exact vs the trilinear accept
     # (tests/test_alpha_state.py A/B) but measured cost-neutral on the
@@ -214,6 +215,16 @@ class FrameConfig:
     # ties (tests/test_raster_pallas.py, tests/test_frame.py A/B).
     # False = the iterated per-peel rasters (A/B benching)
     k_raster: bool = True
+    # pin the per-frame gather row tables (packed interpolation rows,
+    # alpha rows, shadow rows, classifier cells) to ONE materialization
+    # with lax.optimization_barrier before any lax.cond consumes them.
+    # docs/PERF.md hazard #1: XLA re-materializes an in-program gather
+    # operand's reshape/concat chain INSIDE every cond branch that
+    # gathers from it (measured as a fixed ~5-50 ms per branch depending
+    # on table size) — the tier ladders compile ~30 such branches per
+    # frame.  The barrier makes the branches consume one shared buffer.
+    # Bit-identical output (a pure identity); False = A/B benching
+    pin_tables: bool = True
     # DEFAULT path (VERDICT r3 #2b; colorless scenes — glTF COLOR_0
     # defaults to 1 for Sponza-class assets): pack every per-pixel
     # interpolation input (edge planes, anchor, 3 corner attribute rows,
@@ -620,9 +631,9 @@ def _masked_pass(scene, cfg, plan_m, padded, rows, vattr,
             if not base_tiers:
                 return (n_cells,)
             if peel_k == 0:
-                lad = base_tiers[-1:]
-            elif peel_k == 1:
                 lad = base_tiers[-2:]
+            elif peel_k == 1:
+                lad = base_tiers[-3:]
             elif peel_k < cfg.masked_peels:
                 lad = base_tiers[1:-1] or base_tiers
             else:
@@ -875,6 +886,11 @@ def render_frame(scene, scene_data: dict, settings: dict, cfg: FrameConfig):
         shadow_coarse = _build_classifier_tables(shadow_packed, cfg)
         # row-grouped form: every filter tap is ONE row-8 gather
         shadow_maps = tex.make_shadow_rows(shadow_packed)
+        if cfg.pin_tables:
+            # one materialization for every classified-filter cond branch
+            # (cfg.pin_tables docstring)
+            shadow_maps, shadow_coarse = jax.lax.optimization_barrier(
+                (shadow_maps, shadow_coarse))
     else:
         shadow_maps = tex.pack_shadow_maps(
             jnp.ones((NUM_CASCADES, 1, 1), jnp.float32))
@@ -944,6 +960,16 @@ def render_view(scene, scene_data: dict, settings: dict, cfg: FrameConfig,
     ptbl = build_ptbl(scene, cfg, padded, tris_p, tri_mat_p, vattr, vpos)
     ptbl_a = (build_alpha_ptbl(scene, padded, tris_p, tri_mat_p, vattr)
               if ptbl is not None and scene.n_masked_vis > 0 else None)
+    if cfg.pin_tables:
+        # one materialization for every masked/transparent tier branch
+        # (cfg.pin_tables docstring)
+        pinned = jax.lax.optimization_barrier(
+            tuple(t for t in (ptbl, ptbl_a, rows, vattr) if t is not None))
+        pinned = list(pinned)
+        ptbl = pinned.pop(0) if ptbl is not None else None
+        ptbl_a = pinned.pop(0) if ptbl_a is not None else None
+        rows = pinned.pop(0)
+        vattr = pinned.pop(0)
 
     # ---- bin ONCE for every camera-view bucket (one pair sort; buckets
     # are contiguous tri-id ranges sliced out by binary search), then

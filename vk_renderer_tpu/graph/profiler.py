@@ -40,16 +40,33 @@ def _force_honest_mode():
         _synced = True
 
 
+def _sync_pull(out):
+    """Wait for ``out`` to actually exist by pulling ONE scalar to host.
+    Some tunnel transports return from ``block_until_ready`` on
+    dispatch-ack even after the first-pull handshake (observed 2026-08-21:
+    a 1 s fused frame 'measured' 0.17 ms); a real device->host transfer
+    of the first leaf's first element cannot complete before the program
+    that produced it, so timing around this is honest up to one ~10-30 ms
+    tunnel round trip."""
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf.ravel()[0] if leaf.ndim else leaf)
+
+
 def _timed(fn, *args, iters: int = 5):
-    """Compile, then median wall time of ``iters`` dispatches (ms)."""
+    """Compile, then median wall time of ``iters`` dispatches (ms),
+    each closed by a one-scalar pull (_sync_pull) so transports whose
+    block_until_ready lies cannot produce fiction."""
     _force_honest_mode()
     out = fn(*args)
     jax.block_until_ready(out)
+    _sync_pull(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
+        _sync_pull(out)
         times.append(time.perf_counter() - t0)
     times.sort()
     return 1000.0 * times[len(times) // 2], out

@@ -539,8 +539,13 @@ def classified_shadow_factor(shadow_maps, shadow_coarse, gbuf, scene_data,
         return jnp.where(uncertain, f, base)
 
     n_unc = jnp.sum(uncertain.astype(jnp.int32))
+    # the 3/4 rung matters on soft-penumbra scenes: the replica bench
+    # camera's honest band is ~36% of the frame (745k px at 1080p) —
+    # past cap/2 but well under cap, so without it the filter pays the
+    # full top-tier slot count (measured −25% filter work there)
     tiers = sorted({min(cap, max(8192, cap // 8)),
-                    min(cap, max(8192, cap // 2)), cap})
+                    min(cap, max(8192, cap // 2)),
+                    min(cap, max(8192, (3 * cap) // 4)), cap})
     args = (su, sv, sz, layer, uncertain, base)
 
     def build(i):

@@ -101,6 +101,11 @@ def _sharded_step(cfg: FrameConfig, devices: tuple):
             shadow_coarse = framelib._build_classifier_tables(
                 shadow_packed, cfg)
             shadow_maps = _tex.make_shadow_rows(shadow_packed)
+            if cfg.pin_tables:
+                # same single-materialization pin as render_frame (the
+                # classified-filter tier conds run per device)
+                shadow_maps, shadow_coarse = jax.lax.optimization_barrier(
+                    (shadow_maps, shadow_coarse))
         else:
             from ..ops import texture as _tex
             shadow_maps = _tex.pack_shadow_maps(
